@@ -1,0 +1,230 @@
+"""Legacy block-32 quant codecs: Q4_0, Q4_1, Q5_0, Q5_1, Q8_0, Q8_1.
+
+Vectorized numpy implementations with the same numerical semantics as the
+reference scalar code (ref: src/ggml-quants.c:36-258 quantize_row_*_ref,
+:307-415 dequantize_row_*). These are the deterministic "reference" codecs —
+the oracle every TPU kernel is tested against, and the path GGUF files are
+written with.
+
+All quantize functions take float32 arrays whose last dim is a multiple of the
+block size and return a structured array of blocks with shape
+(..., n // blck_size); dequantize is the inverse. Wire bytes are just
+`.tobytes()` of the structured array (layouts are bit-identical to C).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .numerics import (
+    F32,
+    fp16_round,
+    fp16_to_fp32,
+    fp32_to_fp16,
+    nearest_int,
+    roundf_c,
+    safe_div,
+    signed_absmax,
+    trunc_i,
+)
+from .types import (
+    BLOCK_Q4_0,
+    BLOCK_Q4_1,
+    BLOCK_Q5_0,
+    BLOCK_Q5_1,
+    BLOCK_Q8_0,
+    BLOCK_Q8_1,
+    QK4_0,
+    QK5_0,
+    QK8_0,
+    QK8_1,
+)
+
+
+def _blocked(x: np.ndarray, qk: int) -> np.ndarray:
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    assert x.shape[-1] % qk == 0, f"last dim {x.shape[-1]} not a multiple of {qk}"
+    return x.reshape(*x.shape[:-1], x.shape[-1] // qk, qk)
+
+
+# ---------------------------------------------------------------- Q4_0
+
+def quantize_q4_0(x: np.ndarray) -> np.ndarray:
+    """ref: quantize_row_q4_0_ref src/ggml-quants.c:36-71."""
+    xb = _blocked(x, QK4_0)
+    mx = signed_absmax(xb)
+    d = mx / F32(-8)
+    id = safe_div(F32(1), d)
+    q = xb * id[..., None]
+    xi = np.minimum(15, trunc_i(q + F32(8.5))).astype(np.uint8)
+    lo, hi = xi[..., : QK4_0 // 2], xi[..., QK4_0 // 2 :]
+    out = np.empty(xb.shape[:-1], dtype=BLOCK_Q4_0)
+    out["d"] = fp32_to_fp16(d)
+    out["qs"] = lo | (hi << 4)
+    return out
+
+
+def dequantize_q4_0(blocks: np.ndarray) -> np.ndarray:
+    """ref: dequantize_row_q4_0 src/ggml-quants.c:307-325."""
+    d = fp16_to_fp32(blocks["d"])[..., None]
+    qs = blocks["qs"]
+    lo = (qs & 0x0F).astype(np.int32) - 8
+    hi = (qs >> 4).astype(np.int32) - 8
+    y = np.concatenate([lo, hi], axis=-1).astype(np.float32) * d
+    return y.reshape(*blocks.shape[:-1], blocks.shape[-1] * QK4_0)
+
+
+# ---------------------------------------------------------------- Q4_1
+
+def quantize_q4_1(x: np.ndarray) -> np.ndarray:
+    """ref: quantize_row_q4_1_ref src/ggml-quants.c:73-108."""
+    xb = _blocked(x, QK4_0)
+    mn = xb.min(axis=-1)
+    mx = xb.max(axis=-1)
+    d = (mx - mn) / F32(15)
+    id = safe_div(F32(1), d)
+    q = (xb - mn[..., None]) * id[..., None]
+    xi = np.minimum(15, trunc_i(q + F32(0.5))).astype(np.uint8)
+    lo, hi = xi[..., : QK4_0 // 2], xi[..., QK4_0 // 2 :]
+    out = np.empty(xb.shape[:-1], dtype=BLOCK_Q4_1)
+    out["d"] = fp32_to_fp16(d)
+    out["m"] = fp32_to_fp16(mn)
+    out["qs"] = lo | (hi << 4)
+    return out
+
+
+def dequantize_q4_1(blocks: np.ndarray) -> np.ndarray:
+    """ref: dequantize_row_q4_1 src/ggml-quants.c:327-346."""
+    d = fp16_to_fp32(blocks["d"])[..., None]
+    m = fp16_to_fp32(blocks["m"])[..., None]
+    qs = blocks["qs"]
+    lo = (qs & 0x0F).astype(np.float32)
+    hi = (qs >> 4).astype(np.float32)
+    y = np.concatenate([lo, hi], axis=-1) * d + m
+    return y.reshape(*blocks.shape[:-1], blocks.shape[-1] * QK4_0)
+
+
+# ---------------------------------------------------------------- Q5_0 / Q5_1
+
+def _pack_qh(xi: np.ndarray) -> np.ndarray:
+    """Pack the 5th bit of 32 5-bit values into 4 bytes (little-endian u32).
+
+    Bit j of qh holds bit 4 of element j for j<16, and of element j+16's
+    counterpart per the reference layout (first half at bits 0..15, second
+    half at bits 16..31)."""
+    bits = ((xi >> 4) & 1).astype(np.uint32)
+    shifts = np.arange(32, dtype=np.uint32)
+    qh = (bits << shifts).sum(axis=-1, dtype=np.uint32)
+    return np.ascontiguousarray(qh[..., None]).view(np.uint8).reshape(*qh.shape, 4)
+
+
+def quantize_q5_0(x: np.ndarray) -> np.ndarray:
+    """ref: quantize_row_q5_0_ref src/ggml-quants.c:110-152."""
+    xb = _blocked(x, QK5_0)
+    mx = signed_absmax(xb)
+    d = mx / F32(-16)
+    id = safe_div(F32(1), d)
+    q = xb * id[..., None]
+    xi = np.minimum(31, trunc_i(q + F32(16.5))).astype(np.uint8)
+    lo, hi = xi[..., : QK5_0 // 2], xi[..., QK5_0 // 2 :]
+    out = np.empty(xb.shape[:-1], dtype=BLOCK_Q5_0)
+    out["d"] = fp32_to_fp16(d)
+    out["qs"] = (lo & 0x0F) | ((hi & 0x0F) << 4)
+    out["qh"] = _pack_qh(xi)
+    return out
+
+
+def _unpack_qh(qh_bytes: np.ndarray) -> np.ndarray:
+    """Inverse of _pack_qh: (..., 4) u8 -> (..., 32) of the 5th bits shifted
+    into position 4, matching `((qh >> (j+0)) << 4) & 0x10` /
+    `((qh >> (j+12))) & 0x10` in the reference."""
+    qh = qh_bytes.view(np.uint32)[..., 0] if qh_bytes.shape[-1] == 4 else qh_bytes
+    j = np.arange(16, dtype=np.uint32)
+    xh_0 = ((qh[..., None] >> j) << 4) & 0x10
+    xh_1 = (qh[..., None] >> (j + 12)) & 0x10
+    return np.concatenate([xh_0, xh_1], axis=-1).astype(np.uint8)
+
+
+def dequantize_q5_0(blocks: np.ndarray) -> np.ndarray:
+    """ref: dequantize_row_q5_0 src/ggml-quants.c:348-372."""
+    d = fp16_to_fp32(blocks["d"])[..., None]
+    qs = blocks["qs"]
+    xh = _unpack_qh(np.ascontiguousarray(blocks["qh"]))
+    lo = (qs & 0x0F) | xh[..., :16]
+    hi = (qs >> 4) | xh[..., 16:]
+    q = np.concatenate([lo, hi], axis=-1).astype(np.int32) - 16
+    y = q.astype(np.float32) * d
+    return y.reshape(*blocks.shape[:-1], blocks.shape[-1] * QK5_0)
+
+
+def quantize_q5_1(x: np.ndarray) -> np.ndarray:
+    """ref: quantize_row_q5_1_ref src/ggml-quants.c:154-197."""
+    xb = _blocked(x, QK5_0)
+    mn = xb.min(axis=-1)
+    mx = xb.max(axis=-1)
+    d = (mx - mn) / F32(31)
+    id = safe_div(F32(1), d)
+    q = (xb - mn[..., None]) * id[..., None]
+    xi = trunc_i(q + F32(0.5)).astype(np.uint8)  # no clamp in the reference
+    lo, hi = xi[..., : QK5_0 // 2], xi[..., QK5_0 // 2 :]
+    out = np.empty(xb.shape[:-1], dtype=BLOCK_Q5_1)
+    out["d"] = fp32_to_fp16(d)
+    out["m"] = fp32_to_fp16(mn)
+    out["qs"] = (lo & 0x0F) | ((hi & 0x0F) << 4)
+    out["qh"] = _pack_qh(xi)
+    return out
+
+
+def dequantize_q5_1(blocks: np.ndarray) -> np.ndarray:
+    """ref: dequantize_row_q5_1 src/ggml-quants.c:374-399."""
+    d = fp16_to_fp32(blocks["d"])[..., None]
+    m = fp16_to_fp32(blocks["m"])[..., None]
+    qs = blocks["qs"]
+    xh = _unpack_qh(np.ascontiguousarray(blocks["qh"]))
+    lo = (qs & 0x0F) | xh[..., :16]
+    hi = (qs >> 4) | xh[..., 16:]
+    q = np.concatenate([lo, hi], axis=-1).astype(np.float32)
+    y = q * d + m
+    return y.reshape(*blocks.shape[:-1], blocks.shape[-1] * QK5_0)
+
+
+# ---------------------------------------------------------------- Q8_0 / Q8_1
+
+def quantize_q8_0(x: np.ndarray) -> np.ndarray:
+    """ref: quantize_row_q8_0_ref src/ggml-quants.c:199-223."""
+    xb = _blocked(x, QK8_0)
+    amax = np.abs(xb).max(axis=-1)
+    d = amax / F32(127)
+    id = safe_div(F32(1), d)
+    qs = roundf_c(xb * id[..., None]).astype(np.int8)
+    out = np.empty(xb.shape[:-1], dtype=BLOCK_Q8_0)
+    out["d"] = fp32_to_fp16(d)
+    out["qs"] = qs
+    return out
+
+
+def dequantize_q8_0(blocks: np.ndarray) -> np.ndarray:
+    """ref: dequantize_row_q8_0 src/ggml-quants.c:401-415."""
+    d = fp16_to_fp32(blocks["d"])[..., None]
+    y = blocks["qs"].astype(np.float32) * d
+    return y.reshape(*blocks.shape[:-1], blocks.shape[-1] * QK8_0)
+
+
+def quantize_q8_1(x: np.ndarray) -> np.ndarray:
+    """ref: quantize_row_q8_1_ref src/ggml-quants.c:225-258."""
+    xb = _blocked(x, QK8_1)
+    amax = np.abs(xb).max(axis=-1)
+    d = amax / F32(127)
+    id = safe_div(F32(1), d)
+    qs = roundf_c(xb * id[..., None]).astype(np.int8)
+    s = qs.astype(np.int32).sum(axis=-1).astype(np.float32) * d
+    out = np.empty(xb.shape[:-1], dtype=BLOCK_Q8_1)
+    out["d"] = fp32_to_fp16(d)
+    out["s"] = fp32_to_fp16(s)
+    out["qs"] = qs
+    return out
+
+
+def dequantize_q8_1(blocks: np.ndarray) -> np.ndarray:
+    d = fp16_to_fp32(blocks["d"])[..., None]
+    y = blocks["qs"].astype(np.float32) * d
+    return y.reshape(*blocks.shape[:-1], blocks.shape[-1] * QK8_1)

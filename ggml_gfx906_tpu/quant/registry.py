@@ -1,0 +1,86 @@
+"""Codec dispatch: quantize/dequantize by GGMLType, wire-bytes conversion.
+
+Analogue of ggml's type-traits function table (ggml_get_type_traits
+include/ggml.h:2439-2449, ggml_quantize_chunk src/ggml.c:6989).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from . import kquants, legacy
+from .types import GGMLType, TYPE_TRAITS, row_size
+
+_QUANTIZE = {
+    GGMLType.Q4_0: legacy.quantize_q4_0,
+    GGMLType.Q4_1: legacy.quantize_q4_1,
+    GGMLType.Q5_0: legacy.quantize_q5_0,
+    GGMLType.Q5_1: legacy.quantize_q5_1,
+    GGMLType.Q8_0: legacy.quantize_q8_0,
+    GGMLType.Q8_1: legacy.quantize_q8_1,
+    GGMLType.Q2_K: kquants.quantize_q2_K,
+    GGMLType.Q3_K: kquants.quantize_q3_K,
+    GGMLType.Q4_K: kquants.quantize_q4_K,
+    GGMLType.Q5_K: kquants.quantize_q5_K,
+    GGMLType.Q6_K: kquants.quantize_q6_K,
+    GGMLType.Q8_K: kquants.quantize_q8_K,
+}
+
+_DEQUANTIZE = {
+    GGMLType.Q4_0: legacy.dequantize_q4_0,
+    GGMLType.Q4_1: legacy.dequantize_q4_1,
+    GGMLType.Q5_0: legacy.dequantize_q5_0,
+    GGMLType.Q5_1: legacy.dequantize_q5_1,
+    GGMLType.Q8_0: legacy.dequantize_q8_0,
+    GGMLType.Q8_1: legacy.dequantize_q8_1,
+    GGMLType.Q2_K: kquants.dequantize_q2_K,
+    GGMLType.Q3_K: kquants.dequantize_q3_K,
+    GGMLType.Q4_K: kquants.dequantize_q4_K,
+    GGMLType.Q5_K: kquants.dequantize_q5_K,
+    GGMLType.Q6_K: kquants.dequantize_q6_K,
+    GGMLType.Q8_K: kquants.dequantize_q8_K,
+}
+
+
+def supported_quant_types() -> list[GGMLType]:
+    return sorted(_QUANTIZE.keys())
+
+
+def quantize(t: GGMLType, x: np.ndarray) -> np.ndarray:
+    """float32 (..., n) → structured block array (..., n // blck_size)."""
+    return _QUANTIZE[t](np.asarray(x, dtype=np.float32))
+
+
+def dequantize(t: GGMLType, blocks: np.ndarray) -> np.ndarray:
+    """structured block array (..., nb) → float32 (..., nb * blck_size)."""
+    return _DEQUANTIZE[t](blocks)
+
+
+def quantize_to_bytes(t: GGMLType, x: np.ndarray) -> bytes:
+    """Row-major wire bytes, identical layout to ggml_quantize_chunk output."""
+    return np.ascontiguousarray(quantize(t, x)).tobytes()
+
+
+def bytes_to_blocks(t: GGMLType, data, n_per_row: int, n_rows: int | None = None) -> np.ndarray:
+    """View wire bytes as a structured block array (rows, n_per_row/blck)."""
+    tt = TYPE_TRAITS[t]
+    buf = np.frombuffer(data, dtype=np.uint8)
+    rs = row_size(t, n_per_row)
+    if n_rows is None:
+        assert buf.size % rs == 0, (buf.size, rs)
+        n_rows = buf.size // rs
+    blocks = buf[: n_rows * rs].view(tt.block_dtype)
+    return blocks.reshape(n_rows, n_per_row // tt.blck_size)
+
+
+def dequantize_bytes(t: GGMLType, data, n_per_row: int, n_rows: int | None = None) -> np.ndarray:
+    if t == GGMLType.F32:
+        out = np.frombuffer(data, dtype="<f4").astype(np.float32)
+        return out.reshape(n_rows, n_per_row) if n_rows else out.reshape(-1, n_per_row)
+    if t == GGMLType.F16:
+        out = np.frombuffer(data, dtype="<f2").astype(np.float32)
+        return out.reshape(n_rows, n_per_row) if n_rows else out.reshape(-1, n_per_row)
+    if t == GGMLType.BF16:
+        raw = np.frombuffer(data, dtype="<u2").astype(np.uint32) << 16
+        out = raw.view(np.float32).astype(np.float32)
+        return out.reshape(n_rows, n_per_row) if n_rows else out.reshape(-1, n_per_row)
+    return dequantize(t, bytes_to_blocks(t, data, n_per_row, n_rows))
