@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from . import dequant_math as dqm
 from .numerics import (
     F32,
     seq_sum,
@@ -282,20 +283,8 @@ def quantize_q4_K(x: np.ndarray) -> np.ndarray:
 
 def dequantize_q4_K(blocks: np.ndarray) -> np.ndarray:
     """ref: dequantize_row_q4_K src/ggml-quants.c:1352-1374."""
-    shp = blocks.shape
-    b = blocks.reshape(-1)
-    nb = b.shape[0]
-    d = fp16_to_fp32(b["d"])
-    dmin = fp16_to_fp32(b["dmin"])
-    sc, m = unpack_scale_min_k4(b["scales"])
-    d_j = d[:, None] * sc.astype(np.float32)  # (nb, 8)
-    m_j = dmin[:, None] * m.astype(np.float32)
-    qs = b["qs"].reshape(nb, 4, 32)
-    lo = (qs & 0xF).astype(np.float32)
-    hi = (qs >> 4).astype(np.float32)
-    q = np.stack([lo, hi], axis=2)  # (nb, 4, 2, 32) — subblock j = 2*g + half
-    y = q * d_j.reshape(nb, 4, 2, 1) - m_j.reshape(nb, 4, 2, 1)
-    return y.reshape(shp[:-1] + (shp[-1] * QK_K,)) if shp else y.reshape(-1)
+    b = {k: np.ascontiguousarray(blocks[k]) for k in blocks.dtype.names}
+    return dqm.dequant_q4_K(np, b["d"], b["dmin"], b["scales"], b["qs"])
 
 
 # ------------------------------------------------------------------ Q5_K
@@ -345,24 +334,8 @@ def quantize_q5_K(x: np.ndarray) -> np.ndarray:
 
 def dequantize_q5_K(blocks: np.ndarray) -> np.ndarray:
     """ref: dequantize_row_q5_K src/ggml-quants.c:1554-1579."""
-    shp = blocks.shape
-    b = blocks.reshape(-1)
-    nb = b.shape[0]
-    d = fp16_to_fp32(b["d"])
-    dmin = fp16_to_fp32(b["dmin"])
-    sc, m = unpack_scale_min_k4(b["scales"])
-    d_j = d[:, None] * sc.astype(np.float32)
-    m_j = dmin[:, None] * m.astype(np.float32)
-    ql = b["qs"].reshape(nb, 4, 32)
-    qh = b["qh"].reshape(nb, 1, 32)
-    g = np.arange(4)[None, :, None]
-    hi0 = ((qh >> (2 * g)) & 1) * 16
-    hi1 = ((qh >> (2 * g + 1)) & 1) * 16
-    q0 = ((ql & 0xF) + hi0).astype(np.float32)
-    q1 = ((ql >> 4) + hi1).astype(np.float32)
-    q = np.stack([q0, q1], axis=2)  # (nb, 4, 2, 32)
-    y = q * d_j.reshape(nb, 4, 2, 1) - m_j.reshape(nb, 4, 2, 1)
-    return y.reshape(shp[:-1] + (shp[-1] * QK_K,)) if shp else y.reshape(-1)
+    b = {k: np.ascontiguousarray(blocks[k]) for k in blocks.dtype.names}
+    return dqm.dequant_q5_K(np, b["d"], b["dmin"], b["scales"], b["qh"], b["qs"])
 
 
 # ------------------------------------------------------------------ Q6_K
@@ -415,23 +388,8 @@ def quantize_q6_K(x: np.ndarray) -> np.ndarray:
 
 def dequantize_q6_K(blocks: np.ndarray) -> np.ndarray:
     """ref: dequantize_row_q6_K src/ggml-quants.c:1762-1791."""
-    shp = blocks.shape
-    b = blocks.reshape(-1)
-    nb = b.shape[0]
-    d = fp16_to_fp32(b["d"])
-    ql = b["ql"].reshape(nb, 2, 2, 32)  # [128-group][byte-half][l]
-    qh = b["qh"].reshape(nb, 2, 32)
-    sc = b["scales"].reshape(nb, 2, 8).astype(np.float32)
-    q1 = ((ql[:, :, 0, :] & 0xF) | (((qh >> 0) & 3) << 4)).astype(np.int32) - 32
-    q2 = ((ql[:, :, 1, :] & 0xF) | (((qh >> 2) & 3) << 4)).astype(np.int32) - 32
-    q3 = ((ql[:, :, 0, :] >> 4) | (((qh >> 4) & 3) << 4)).astype(np.int32) - 32
-    q4 = ((ql[:, :, 1, :] >> 4) | (((qh >> 6) & 3) << 4)).astype(np.int32) - 32
-    q = np.stack([q1, q2, q3, q4], axis=2).astype(np.float32)  # (nb,2,4,32)
-    # C: y[l + 32*k] = d * sc[l//16 + 2*k] * q_k — quarter k, element l
-    sidx = np.arange(4)[:, None] * 2 + (np.arange(32) // 16)[None, :]  # (4, 32)
-    dsc = d[:, None, None, None] * sc[:, :, sidx]  # (nb, 2, 4, 32)
-    y = q * dsc
-    return y.reshape(shp[:-1] + (shp[-1] * QK_K,)) if shp else y.reshape(-1)
+    b = {k: np.ascontiguousarray(blocks[k]) for k in blocks.dtype.names}
+    return dqm.dequant_q6_K(np, b["d"], b["ql"], b["qh"], b["scales"])
 
 
 # ------------------------------------------------------------------ Q2_K
@@ -478,23 +436,8 @@ def quantize_q2_K(x: np.ndarray) -> np.ndarray:
 
 def dequantize_q2_K(blocks: np.ndarray) -> np.ndarray:
     """ref: dequantize_row_q2_K src/ggml-quants.c:784-814."""
-    shp = blocks.shape
-    b = blocks.reshape(-1)
-    nb = b.shape[0]
-    d = fp16_to_fp32(b["d"])
-    dmin = fp16_to_fp32(b["dmin"])
-    sc = b["scales"]
-    dl = d[:, None] * (sc & 0xF).astype(np.float32)  # (nb, 16)
-    ml = dmin[:, None] * (sc >> 4).astype(np.float32)
-    qs = b["qs"].reshape(nb, 2, 1, 32)
-    shift = np.arange(4)[None, None, :, None] * 2
-    q = ((qs >> shift) & 3).astype(np.float32)  # (nb, 2, 4, 32)
-    # subblock index of element (g, j, l) = g*8 + j*2 + l//16
-    dlr = dl.reshape(nb, 2, 4, 2, 1)
-    mlr = ml.reshape(nb, 2, 4, 2, 1)
-    qr = q.reshape(nb, 2, 4, 2, 16)
-    y = qr * dlr - mlr
-    return y.reshape(shp[:-1] + (shp[-1] * QK_K,)) if shp else y.reshape(-1)
+    b = {k: np.ascontiguousarray(blocks[k]) for k in blocks.dtype.names}
+    return dqm.dequant_q2_K(np, b["d"], b["dmin"], b["scales"], b["qs"])
 
 
 # ------------------------------------------------------------------ Q3_K
@@ -564,22 +507,8 @@ def _unpack_q3_scales(packed: np.ndarray) -> np.ndarray:
 
 def dequantize_q3_K(blocks: np.ndarray) -> np.ndarray:
     """ref: dequantize_row_q3_K src/ggml-quants.c:1128-1176."""
-    shp = blocks.shape
-    b = blocks.reshape(-1)
-    nb = b.shape[0]
-    d_all = fp16_to_fp32(b["d"])
-    sc = _unpack_q3_scales(b["scales"]).astype(np.float32)  # already -32 applied
-    dl = d_all[:, None] * sc  # (nb, 16)
-    qs = b["qs"].reshape(nb, 2, 1, 32)
-    shift = np.arange(4)[None, None, :, None] * 2
-    q = ((qs >> shift) & 3).astype(np.int32)  # (nb, 2, 4, 32)
-    hmask = b["hmask"].reshape(nb, 1, 1, 32)
-    bit = (np.arange(2)[:, None] * 4 + np.arange(4)[None, :]).reshape(1, 2, 4, 1)
-    has_high = (hmask >> bit) & 1
-    qv = (q - np.where(has_high, 0, 4)).astype(np.float32)
-    dlr = dl.reshape(nb, 2, 4, 2, 1)
-    y = qv.reshape(nb, 2, 4, 2, 16) * dlr
-    return y.reshape(shp[:-1] + (shp[-1] * QK_K,)) if shp else y.reshape(-1)
+    b = {k: np.ascontiguousarray(blocks[k]) for k in blocks.dtype.names}
+    return dqm.dequant_q3_K(np, b["d"], b["hmask"], b["scales"], b["qs"])
 
 
 # ------------------------------------------------------------------ Q8_K
@@ -605,7 +534,5 @@ def quantize_q8_K(x: np.ndarray) -> np.ndarray:
 
 def dequantize_q8_K(blocks: np.ndarray) -> np.ndarray:
     """ref: dequantize_row_q8_K src/ggml-quants.c:2594-2603."""
-    shp = blocks.shape
-    b = blocks.reshape(-1)
-    y = b["qs"].astype(np.float32) * b["d"][:, None]
-    return y.reshape(shp[:-1] + (shp[-1] * QK_K,)) if shp else y.reshape(-1)
+    b = {k: np.ascontiguousarray(blocks[k]) for k in blocks.dtype.names}
+    return dqm.dequant_q8_K(np, b["d"], b["qs"])

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from . import dequant_math as dq
 from .numerics import (
     F32,
     fp16_round,
@@ -65,12 +66,7 @@ def quantize_q4_0(x: np.ndarray) -> np.ndarray:
 
 def dequantize_q4_0(blocks: np.ndarray) -> np.ndarray:
     """ref: dequantize_row_q4_0 src/ggml-quants.c:307-325."""
-    d = fp16_to_fp32(blocks["d"])[..., None]
-    qs = blocks["qs"]
-    lo = (qs & 0x0F).astype(np.int32) - 8
-    hi = (qs >> 4).astype(np.int32) - 8
-    y = np.concatenate([lo, hi], axis=-1).astype(np.float32) * d
-    return y.reshape(*blocks.shape[:-1], blocks.shape[-1] * QK4_0)
+    return dq.dequant_q4_0(np, blocks["d"], blocks["qs"])
 
 
 # ---------------------------------------------------------------- Q4_1
@@ -94,13 +90,7 @@ def quantize_q4_1(x: np.ndarray) -> np.ndarray:
 
 def dequantize_q4_1(blocks: np.ndarray) -> np.ndarray:
     """ref: dequantize_row_q4_1 src/ggml-quants.c:327-346."""
-    d = fp16_to_fp32(blocks["d"])[..., None]
-    m = fp16_to_fp32(blocks["m"])[..., None]
-    qs = blocks["qs"]
-    lo = (qs & 0x0F).astype(np.float32)
-    hi = (qs >> 4).astype(np.float32)
-    y = np.concatenate([lo, hi], axis=-1) * d + m
-    return y.reshape(*blocks.shape[:-1], blocks.shape[-1] * QK4_0)
+    return dq.dequant_q4_1(np, blocks["d"], blocks["m"], blocks["qs"])
 
 
 # ---------------------------------------------------------------- Q5_0 / Q5_1
@@ -146,14 +136,7 @@ def _unpack_qh(qh_bytes: np.ndarray) -> np.ndarray:
 
 def dequantize_q5_0(blocks: np.ndarray) -> np.ndarray:
     """ref: dequantize_row_q5_0 src/ggml-quants.c:348-372."""
-    d = fp16_to_fp32(blocks["d"])[..., None]
-    qs = blocks["qs"]
-    xh = _unpack_qh(np.ascontiguousarray(blocks["qh"]))
-    lo = (qs & 0x0F) | xh[..., :16]
-    hi = (qs >> 4) | xh[..., 16:]
-    q = np.concatenate([lo, hi], axis=-1).astype(np.int32) - 16
-    y = q.astype(np.float32) * d
-    return y.reshape(*blocks.shape[:-1], blocks.shape[-1] * QK5_0)
+    return dq.dequant_q5_0(np, blocks["d"], np.ascontiguousarray(blocks["qh"]), blocks["qs"])
 
 
 def quantize_q5_1(x: np.ndarray) -> np.ndarray:
@@ -176,15 +159,7 @@ def quantize_q5_1(x: np.ndarray) -> np.ndarray:
 
 def dequantize_q5_1(blocks: np.ndarray) -> np.ndarray:
     """ref: dequantize_row_q5_1 src/ggml-quants.c:374-399."""
-    d = fp16_to_fp32(blocks["d"])[..., None]
-    m = fp16_to_fp32(blocks["m"])[..., None]
-    qs = blocks["qs"]
-    xh = _unpack_qh(np.ascontiguousarray(blocks["qh"]))
-    lo = (qs & 0x0F) | xh[..., :16]
-    hi = (qs >> 4) | xh[..., 16:]
-    q = np.concatenate([lo, hi], axis=-1).astype(np.float32)
-    y = q * d + m
-    return y.reshape(*blocks.shape[:-1], blocks.shape[-1] * QK5_0)
+    return dq.dequant_q5_1(np, blocks["d"], blocks["m"], np.ascontiguousarray(blocks["qh"]), blocks["qs"])
 
 
 # ---------------------------------------------------------------- Q8_0 / Q8_1
@@ -204,9 +179,7 @@ def quantize_q8_0(x: np.ndarray) -> np.ndarray:
 
 def dequantize_q8_0(blocks: np.ndarray) -> np.ndarray:
     """ref: dequantize_row_q8_0 src/ggml-quants.c:401-415."""
-    d = fp16_to_fp32(blocks["d"])[..., None]
-    y = blocks["qs"].astype(np.float32) * d
-    return y.reshape(*blocks.shape[:-1], blocks.shape[-1] * QK8_0)
+    return dq.dequant_q8_0(np, blocks["d"], blocks["qs"])
 
 
 def quantize_q8_1(x: np.ndarray) -> np.ndarray:
@@ -225,6 +198,4 @@ def quantize_q8_1(x: np.ndarray) -> np.ndarray:
 
 
 def dequantize_q8_1(blocks: np.ndarray) -> np.ndarray:
-    d = fp16_to_fp32(blocks["d"])[..., None]
-    y = blocks["qs"].astype(np.float32) * d
-    return y.reshape(*blocks.shape[:-1], blocks.shape[-1] * QK8_1)
+    return dq.dequant_q8_1(np, blocks["d"], blocks["qs"])
