@@ -1,0 +1,91 @@
+"""Model converters: HF/torch state dicts → GGUF.
+
+Replaces the reference's per-example Python converters
+(examples/gpt-2/convert-ckpt-to-ggml.py etc.) with direct GGUF writers using
+llama.cpp-compatible schemas, plus per-tensor quantization policy mirroring
+ggml_common_quantize_0 (examples/common-ggml.cpp:41 — only the 2-D matmul
+weights are quantized; norms/biases stay f32; ne[0] must divide the block).
+"""
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from ..gguf import GGUFWriter
+from ..quant.types import GGMLType, TYPE_TRAITS
+
+# tensor-name patterns eligible for quantization (ref: quantize.cpp to_quant
+# lists — the 2-D weight matrices)
+QUANT_PATTERNS = [
+    r"token_embd\.weight",
+    r"output\.weight",
+    r"blk\.\d+\.attn_qkv\.weight",
+    r"blk\.\d+\.attn_output\.weight",
+    r"blk\.\d+\.(attn_q|attn_k|attn_v)\.weight",
+    r"blk\.\d+\.ffn_(up|down|gate)\.weight",
+]
+
+
+def _pick_type(name: str, arr: np.ndarray, ftype: GGMLType) -> GGMLType:
+    if ftype == GGMLType.F32 or arr.ndim != 2:
+        return GGMLType.F32
+    if not any(re.fullmatch(p, name) for p in QUANT_PATTERNS):
+        return GGMLType.F32
+    if arr.shape[-1] % TYPE_TRAITS[ftype].blck_size != 0:
+        return GGMLType.F16  # fallback like ggml's incompatible-ne[0] path
+    return ftype
+
+
+def _add(w: GGUFWriter, name: str, arr: np.ndarray, ftype: GGMLType):
+    t = _pick_type(name, arr, ftype)
+    w.add_array_tensor(name, np.asarray(arr, dtype=np.float32), t)
+
+
+def convert_gpt2(state_dict: dict, config, path, ftype: GGMLType = GGMLType.F32,
+                 tokens: list[str] | None = None,
+                 merges: list[str] | None = None):
+    """HF GPT2LMHeadModel state_dict → gpt2 GGUF.
+
+    HF's Conv1D stores weights (in, out); ggml mul_mat wants (out, in) —
+    transposed here (same flip the reference converter does)."""
+
+    def t(name):
+        return state_dict[name].detach().cpu().numpy().astype(np.float32)
+
+    w = GGUFWriter()
+    w.set("general.architecture", "gpt2")
+    w.set("general.name", "gpt2")
+    w.set("gpt2.vocab_size", int(config.vocab_size))
+    w.set("gpt2.context_length", int(config.n_positions))
+    w.set("gpt2.embedding_length", int(config.n_embd))
+    w.set("gpt2.block_count", int(config.n_layer))
+    w.set("gpt2.attention.head_count", int(config.n_head))
+    w.set("gpt2.attention.layer_norm_epsilon", float(config.layer_norm_epsilon))
+    if tokens is not None:
+        w.set("tokenizer.ggml.model", "gpt2")
+        w.set("tokenizer.ggml.tokens", tokens)
+    if merges is not None:
+        w.set("tokenizer.ggml.merges", merges)
+
+    _add(w, "token_embd.weight", t("transformer.wte.weight"), ftype)
+    _add(w, "position_embd.weight", t("transformer.wpe.weight"), ftype)
+    _add(w, "output_norm.weight", t("transformer.ln_f.weight"), ftype)
+    _add(w, "output_norm.bias", t("transformer.ln_f.bias"), ftype)
+    for i in range(config.n_layer):
+        hf = f"transformer.h.{i}."
+        gg = f"blk.{i}."
+        _add(w, gg + "attn_norm.weight", t(hf + "ln_1.weight"), ftype)
+        _add(w, gg + "attn_norm.bias", t(hf + "ln_1.bias"), ftype)
+        _add(w, gg + "attn_qkv.weight", t(hf + "attn.c_attn.weight").T, ftype)
+        _add(w, gg + "attn_qkv.bias", t(hf + "attn.c_attn.bias"), ftype)
+        _add(w, gg + "attn_output.weight", t(hf + "attn.c_proj.weight").T, ftype)
+        _add(w, gg + "attn_output.bias", t(hf + "attn.c_proj.bias"), ftype)
+        _add(w, gg + "ffn_norm.weight", t(hf + "ln_2.weight"), ftype)
+        _add(w, gg + "ffn_norm.bias", t(hf + "ln_2.bias"), ftype)
+        _add(w, gg + "ffn_up.weight", t(hf + "mlp.c_fc.weight").T, ftype)
+        _add(w, gg + "ffn_up.bias", t(hf + "mlp.c_fc.bias"), ftype)
+        _add(w, gg + "ffn_down.weight", t(hf + "mlp.c_proj.weight").T, ftype)
+        _add(w, gg + "ffn_down.bias", t(hf + "mlp.c_proj.bias"), ftype)
+    w.write(path)
+    return path

@@ -53,10 +53,9 @@ def seq_sum(a: np.ndarray) -> np.ndarray:
     C's sequential `acc += a[i]` loops (numpy's .sum is pairwise, which
     rounds differently and breaks bit-parity of the scale searches)."""
     a = a.astype(np.float32, copy=False)
-    acc = np.zeros(a.shape[:-1], dtype=np.float32)
-    for i in range(a.shape[-1]):
-        acc = acc + a[..., i]
-    return acc
+    # np.cumsum accumulates left-to-right in float32 — bit-identical to the
+    # scalar loop, one C pass instead of n python-level array adds
+    return np.cumsum(a, axis=-1, dtype=np.float32)[..., -1]
 
 
 def safe_div(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -1,0 +1,33 @@
+"""Token sampling: greedy + top-k/top-p with temperature.
+
+ref: gpt_sample_top_k_top_p examples/common.cpp:113-121 (and its impl in
+examples/common.cpp) — logits are scaled by 1/temp, restricted to the top-k,
+renormalized, then nucleus-filtered by cumulative probability top_p.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def greedy(logits: jax.Array) -> jax.Array:
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def sample_top_k_top_p(logits: jax.Array, key: jax.Array, top_k: int = 40,
+                       top_p: float = 0.9, temp: float = 1.0) -> jax.Array:
+    """logits: (n_vocab,) → scalar int32 token id."""
+    lf = logits.astype(jnp.float32)
+    if temp != 1.0:
+        lf = lf / temp
+    k = min(top_k, lf.shape[-1]) if top_k > 0 else lf.shape[-1]
+    vals, idx = jax.lax.top_k(lf, k)
+    probs = jax.nn.softmax(vals)
+    if top_p < 1.0:
+        csum = jnp.cumsum(probs)
+        # keep tokens until cumulative prob exceeds top_p (always keep first)
+        keep = jnp.concatenate([jnp.ones((1,), bool), csum[:-1] < top_p])
+        probs = jnp.where(keep, probs, 0.0)
+        probs = probs / probs.sum()
+    choice = jax.random.categorical(key, jnp.log(jnp.maximum(probs, 1e-30)))
+    return idx[choice].astype(jnp.int32)
