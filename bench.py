@@ -1,11 +1,15 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Current headline: GPT-2 117M-class Q8_0 greedy decode tokens/sec on one TPU
-chip, vs the reference MI50 baseline of 214 tok/s for Q8_0 decode
-(BASELINE.md; docs/gfx906/ggml_fork_optimizations.md:341). The 7B Q4_K
-north-star lands with the llama model family.
+Headline (BASELINE.json north star): llama-7B-class Q4_K greedy decode
+tokens/sec on one TPU chip, fused dequant+matmul Pallas kernels, decode loop
+fully on device (lax.scan). Reference anchor: MI50 Q4_0 decode 180 tok/s
+(BASELINE.md / docs/gfx906/ggml_fork_optimizations.md:342).
 
-Usage: python bench.py  (runs on the real TPU; first compile ~20-40s)
+Weights are synthetic (random packed blocks — decode speed is
+data-independent; real checkpoints are not downloadable in this sandbox).
+
+Usage: python bench.py            # 7B Q4_K (the headline)
+       BENCH_MODEL=gpt2 python bench.py
 """
 import json
 import os
@@ -17,100 +21,131 @@ sys.path.insert(0, str(Path(__file__).parent))
 
 import numpy as np
 
-BASELINE_TOKS = 214.0  # MI50 Q8_0 decode tok/s (BASELINE.md)
-
-CACHE = Path(os.environ.get("BENCH_CACHE", "/tmp")) / "bench-gpt2-117m-q8_0.gguf"
-
-
-def build_model(path: Path):
-    """117M-shape GPT-2 with deterministic random weights, Q8_0."""
-    from ggml_gfx906_tpu.gguf import GGUFWriter
-    from ggml_gfx906_tpu.quant import GGMLType
-    from ggml_gfx906_tpu.quant.registry import quantize_to_bytes
-
-    rng = np.random.default_rng(0)
-    V, D, L, CTX = 50257, 768, 12, 1024
-
-    w = GGUFWriter()
-    w.set("general.architecture", "gpt2")
-    w.set("gpt2.vocab_size", V)
-    w.set("gpt2.context_length", CTX)
-    w.set("gpt2.embedding_length", D)
-    w.set("gpt2.block_count", L)
-    w.set("gpt2.attention.head_count", 12)
-    w.set("gpt2.attention.layer_norm_epsilon", 1e-5)
-
-    def mat(name, r, c):
-        a = (rng.standard_normal((r, c)) * 0.02).astype(np.float32)
-        w.add_tensor(name, (c, r), GGMLType.Q8_0,
-                     quantize_to_bytes(GGMLType.Q8_0, a))
-
-    def vec(name, n, ones=False):
-        a = np.ones(n, np.float32) if ones else np.zeros(n, np.float32)
-        w.add_array_tensor(name, a)
-
-    mat("token_embd.weight", V, D)
-    w.add_array_tensor("position_embd.weight",
-                       (rng.standard_normal((CTX, D)) * 0.01).astype(np.float32))
-    vec("output_norm.weight", D, ones=True)
-    vec("output_norm.bias", D)
-    for i in range(L):
-        g = f"blk.{i}."
-        vec(g + "attn_norm.weight", D, ones=True)
-        vec(g + "attn_norm.bias", D)
-        mat(g + "attn_qkv.weight", 3 * D, D)
-        vec(g + "attn_qkv.bias", 3 * D)
-        mat(g + "attn_output.weight", D, D)
-        vec(g + "attn_output.bias", D)
-        vec(g + "ffn_norm.weight", D, ones=True)
-        vec(g + "ffn_norm.bias", D)
-        mat(g + "ffn_up.weight", 4 * D, D)
-        vec(g + "ffn_up.bias", 4 * D)
-        mat(g + "ffn_down.weight", D, 4 * D)
-        vec(g + "ffn_down.bias", D)
-    w.write(path)
+BASELINE_TOKS = 180.0  # MI50 Q4_0 7B-class decode tok/s (BASELINE.md)
+V5E_HBM_GBS = 819.0    # v5e chip HBM bandwidth
 
 
-def main():
+def random_q4k(rng, n, k, device=None):
+    """Kernel-layout Q4_K QuantTensor with random packed data (valid blocks,
+    plausible scale magnitudes)."""
     import jax
     import jax.numpy as jnp
-    from ggml_gfx906_tpu.models import gpt2
-    from ggml_gfx906_tpu.runtime.kv_cache import KVCache
+    from ggml_gfx906_tpu.ops.quantized import QuantTensor
+    from ggml_gfx906_tpu.quant.types import GGMLType
 
-    if not CACHE.exists():
-        print("building benchmark model...", file=sys.stderr)
-        build_model(CACHE)
+    sb = k // 256
+    scale = np.float32(0.02 / 8)
+    fields = {
+        "qs": rng.integers(0, 256, (n, sb, 128), dtype=np.uint8),
+        "dsclo": (rng.random((n, sb, 4), dtype=np.float32) * scale),
+        "dschi": (rng.random((n, sb, 4), dtype=np.float32) * scale),
+        "dmlo": (rng.random((n, sb, 4), dtype=np.float32) * scale * 8),
+        "dmhi": (rng.random((n, sb, 4), dtype=np.float32) * scale * 8),
+    }
+    fields = {kk: jax.device_put(v, device) for kk, v in fields.items()}
+    return QuantTensor(GGMLType.Q4_K, (n, k), fields, "kernel")
 
-    cfg, params = gpt2.load(CACHE)
+
+def build_llama7b_params(cfg):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    D, V, FF, KVD = cfg.n_embd, cfg.n_vocab, cfg.n_ff, cfg.n_kv_head * cfg.head_dim
+    p = {"wte": random_q4k(rng, V, D),
+         "out_norm": jnp.ones((D,), jnp.float32), "blocks": []}
+    for _ in range(cfg.n_layer):
+        p["blocks"].append({
+            "attn_norm": jnp.ones((D,), jnp.float32),
+            "wq": random_q4k(rng, D, D), "wk": random_q4k(rng, KVD, D),
+            "wv": random_q4k(rng, KVD, D), "wo": random_q4k(rng, D, D),
+            "ffn_norm": jnp.ones((D,), jnp.float32),
+            "w_gate": random_q4k(rng, FF, D), "w_up": random_q4k(rng, FF, D),
+            "w_down": random_q4k(rng, D, FF),
+        })
+    return p
+
+
+def bench_llama7b():
+    import jax
+    import jax.numpy as jnp
+    from ggml_gfx906_tpu.models import llama
+    from ggml_gfx906_tpu.ops.quantized import QuantTensor
+
+    cfg = llama.LlamaConfig(
+        n_vocab=32000, n_ctx=2048, n_embd=4096, n_head=32, n_kv_head=32,
+        n_layer=32, n_ff=11008, compute_dtype=jnp.bfloat16)
+    t0 = time.time()
+    params = build_llama7b_params(cfg)
+    wbytes = sum(t.nbytes for t in jax.tree.leaves(
+        params, is_leaf=lambda x: isinstance(x, QuantTensor))
+        if hasattr(t, "nbytes"))
+    print(f"built 7B params ({wbytes/1e9:.2f} GB) in {time.time()-t0:.0f}s",
+          file=sys.stderr)
+
     max_seq = 1024
-    kv = KVCache.create(cfg.n_layer, max_seq, cfg.n_head, cfg.head_dim)
-
-    # prefill 64 tokens, then timed single-token decode steps
-    prompt = jnp.asarray(np.arange(64, dtype=np.int32))
-    logits, kv = gpt2.forward_jit(cfg, params, prompt, kv, jnp.int32(0))
-    tok = jnp.argmax(logits[-1]).astype(jnp.int32)[None]
-
-    # warmup decode step (compile)
-    logits, kv = gpt2.forward_jit(cfg, params, tok, kv, jnp.int32(64))
-    logits.block_until_ready()
+    kv = llama.make_cache(cfg, max_seq)
+    prompt = jnp.asarray(np.arange(64, dtype=np.int32) % 1000)
+    logits, kv = llama.forward_jit(cfg, params, prompt, kv, jnp.int32(0))
+    first = jnp.argmax(logits[-1]).astype(jnp.int32)
 
     n_steps = 64
     t0 = time.time()
-    pos = 65
-    for i in range(n_steps):
-        logits, kv = gpt2.forward_jit(cfg, params, tok, kv, jnp.int32(pos + i))
-    logits.block_until_ready()
-    dt = time.time() - t0
-    toks = n_steps / dt
+    toks, kv = llama.decode_scan(cfg, params, kv, first, 64, n_steps)
+    toks.block_until_ready()
+    t_compile = time.time() - t0
+    print(f"decode_scan compile+first {t_compile:.0f}s", file=sys.stderr)
 
+    t0 = time.time()
+    toks, kv = llama.decode_scan(cfg, params, kv, toks[-1], 64 + n_steps, n_steps)
+    toks.block_until_ready()
+    dt = time.time() - t0
+    toks_s = n_steps / dt
+
+    roofline = V5E_HBM_GBS * 1e9 / wbytes  # tok/s if reading weights once/token
+    print(json.dumps({
+        "metric": "llama7b_q4k_decode_tok_s_per_chip",
+        "value": round(toks_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(toks_s / BASELINE_TOKS, 3),
+        "pct_hbm_roofline": round(100 * toks_s / roofline, 1),
+        "weight_bytes": wbytes,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+def bench_gpt2():
+    # secondary benchmark: kept from the first milestone (see git history)
+    import jax
+    import jax.numpy as jnp
+    from ggml_gfx906_tpu.models import gpt2
+    from ggml_gfx906_tpu.quant import GGMLType
+    from ggml_gfx906_tpu.runtime.kv_cache import KVCache
+
+    cfg = gpt2.GPT2Config(n_vocab=50257, n_ctx=1024, n_embd=768, n_head=12,
+                          n_layer=12)
+    params = gpt2.random_params(cfg, seed=0, qtype=GGMLType.Q8_0)
+    kv = KVCache.create(cfg.n_layer, 1024, cfg.n_head, cfg.head_dim)
+    prompt = jnp.asarray(np.arange(64, dtype=np.int32))
+    logits, kv = gpt2.forward_jit(cfg, params, prompt, kv, jnp.int32(0))
+    tok = jnp.argmax(logits[-1]).astype(jnp.int32)[None]
+    logits, kv = gpt2.forward_jit(cfg, params, tok, kv, jnp.int32(64))
+    logits.block_until_ready()
+    n_steps = 64
+    t0 = time.time()
+    for i in range(n_steps):
+        logits, kv = gpt2.forward_jit(cfg, params, tok, kv, jnp.int32(65 + i))
+    logits.block_until_ready()
+    toks = n_steps / (time.time() - t0)
     print(json.dumps({
         "metric": "gpt2_117m_q8_0_decode_tok_s_per_chip",
-        "value": round(toks, 2),
-        "unit": "tok/s",
-        "vs_baseline": round(toks / BASELINE_TOKS, 3),
+        "value": round(toks, 2), "unit": "tok/s",
+        "vs_baseline": round(toks / 214.0, 3),
         "device": str(jax.devices()[0]),
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_MODEL") == "gpt2":
+        bench_gpt2()
+    else:
+        bench_llama7b()

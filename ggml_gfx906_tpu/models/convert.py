@@ -42,6 +42,53 @@ def _add(w: GGUFWriter, name: str, arr: np.ndarray, ftype: GGMLType):
     w.add_array_tensor(name, np.asarray(arr, dtype=np.float32), t)
 
 
+def convert_llama(state_dict: dict, config, path,
+                  ftype: GGMLType = GGMLType.F32,
+                  tokens: list[str] | None = None):
+    """HF LlamaForCausalLM state_dict → llama GGUF.
+
+    No q/k permutation: HF's rotate_half rotary equals ggml's NEOX mode
+    pairwise rotation (pairs (i, i+d/2) by theta_i), so weights map 1:1."""
+
+    def t(name):
+        return state_dict[name].detach().cpu().numpy().astype(np.float32)
+
+    w = GGUFWriter()
+    w.set("general.architecture", "llama")
+    w.set("general.name", "llama")
+    w.set("llama.vocab_size", int(config.vocab_size))
+    w.set("llama.context_length", int(config.max_position_embeddings))
+    w.set("llama.embedding_length", int(config.hidden_size))
+    w.set("llama.block_count", int(config.num_hidden_layers))
+    w.set("llama.feed_forward_length", int(config.intermediate_size))
+    w.set("llama.attention.head_count", int(config.num_attention_heads))
+    w.set("llama.attention.head_count_kv", int(config.num_key_value_heads))
+    w.set("llama.attention.layer_norm_rms_epsilon", float(config.rms_norm_eps))
+    w.set("llama.rope.freq_base", float(getattr(config, "rope_theta", 10000.0)))
+    if tokens is not None:
+        w.set("tokenizer.ggml.model", "llama")
+        w.set("tokenizer.ggml.tokens", tokens)
+
+    _add(w, "token_embd.weight", t("model.embed_tokens.weight"), ftype)
+    _add(w, "output_norm.weight", t("model.norm.weight"), ftype)
+    if "lm_head.weight" in state_dict:
+        _add(w, "output.weight", t("lm_head.weight"), ftype)
+    for i in range(config.num_hidden_layers):
+        hf = f"model.layers.{i}."
+        gg = f"blk.{i}."
+        _add(w, gg + "attn_norm.weight", t(hf + "input_layernorm.weight"), ftype)
+        _add(w, gg + "attn_q.weight", t(hf + "self_attn.q_proj.weight"), ftype)
+        _add(w, gg + "attn_k.weight", t(hf + "self_attn.k_proj.weight"), ftype)
+        _add(w, gg + "attn_v.weight", t(hf + "self_attn.v_proj.weight"), ftype)
+        _add(w, gg + "attn_output.weight", t(hf + "self_attn.o_proj.weight"), ftype)
+        _add(w, gg + "ffn_norm.weight", t(hf + "post_attention_layernorm.weight"), ftype)
+        _add(w, gg + "ffn_gate.weight", t(hf + "mlp.gate_proj.weight"), ftype)
+        _add(w, gg + "ffn_up.weight", t(hf + "mlp.up_proj.weight"), ftype)
+        _add(w, gg + "ffn_down.weight", t(hf + "mlp.down_proj.weight"), ftype)
+    w.write(path)
+    return path
+
+
 def convert_gpt2(state_dict: dict, config, path, ftype: GGMLType = GGMLType.F32,
                  tokens: list[str] | None = None,
                  merges: list[str] | None = None):

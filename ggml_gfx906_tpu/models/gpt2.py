@@ -100,9 +100,9 @@ def _linear(x, w, b=None):
 def _embed(table, ids):
     if isinstance(table, QuantTensor):
         # gather packed rows, dequantize only those (keeps HBM traffic low)
-        sub = QuantTensor(table.qtype,
-                          (ids.shape[0],) + table.shape[1:],
-                          {k: v[ids] for k, v in table.fields.items()})
+        sub = QuantTensor(table.qtype, (ids.shape[0],) + table.shape[1:],
+                          {k: v[ids] for k, v in table.fields.items()},
+                          table.layout)
         return dequant(sub)
     return table[ids]
 

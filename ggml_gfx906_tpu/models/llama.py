@@ -1,0 +1,236 @@
+"""Llama-family decoder — the north-star 7B Q4_K configuration.
+
+The reference runs llama-class models through the same ggml op surface
+(RMS_NORM + MUL_MAT + ROPE(NeoX) + FLASH_ATTN_EXT + SWIGLU); this module is
+the TPU-native model: pure jax forward over GGUF-loaded params with GQA,
+rope freq scaling (incl. YaRN), and a donated KV cache.
+
+GGUF schema: llama.cpp conventions (kv `llama.*`; tensors blk.N.attn_q|
+attn_k|attn_v|attn_output|ffn_gate|ffn_up|ffn_down|attn_norm|ffn_norm).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import ops
+from ..gguf import GGUFReader
+from ..ops.quantized import QuantTensor, dequant, qmatmul
+from ..quant.types import GGMLType, TYPE_TRAITS
+from ..runtime.kv_cache import KVCache
+
+ARCH = "llama"
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    n_vocab: int
+    n_ctx: int
+    n_embd: int
+    n_head: int
+    n_kv_head: int
+    n_layer: int
+    n_ff: int
+    rms_eps: float = 1e-5
+    rope_base: float = 10000.0
+    rope_dims: int | None = None  # defaults to head_dim
+    rope_freq_scale: float = 1.0
+    compute_dtype: object = jnp.float32
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_embd // self.n_head
+
+    @property
+    def n_rot(self) -> int:
+        return self.rope_dims or self.head_dim
+
+
+def _to_param(reader: GGUFReader, name: str):
+    ti = reader.tensors[name]
+    if TYPE_TRAITS[ti.type].is_quantized:
+        return QuantTensor.from_blocks(ti.type, reader.tensor_blocks(name))
+    return jnp.asarray(reader.tensor_float(name))
+
+
+def load(path) -> tuple[LlamaConfig, dict]:
+    r = GGUFReader(path)
+    arch = r.kv.get("general.architecture")
+    if arch != ARCH:
+        raise ValueError(f"not a llama GGUF (architecture={arch!r})")
+    kv = r.kv
+    n_head = int(kv[f"{ARCH}.attention.head_count"])
+    cfg = LlamaConfig(
+        n_vocab=int(kv.get(f"{ARCH}.vocab_size",
+                           r.tensors["token_embd.weight"].shape[0])),
+        n_ctx=int(kv[f"{ARCH}.context_length"]),
+        n_embd=int(kv[f"{ARCH}.embedding_length"]),
+        n_head=n_head,
+        n_kv_head=int(kv.get(f"{ARCH}.attention.head_count_kv", n_head)),
+        n_layer=int(kv[f"{ARCH}.block_count"]),
+        n_ff=int(kv[f"{ARCH}.feed_forward_length"]),
+        rms_eps=float(kv.get(f"{ARCH}.attention.layer_norm_rms_epsilon", 1e-5)),
+        rope_base=float(kv.get(f"{ARCH}.rope.freq_base", 10000.0)),
+        rope_dims=int(kv[f"{ARCH}.rope.dimension_count"])
+        if f"{ARCH}.rope.dimension_count" in kv else None,
+        rope_freq_scale=float(kv.get(f"{ARCH}.rope.freq_scale", 1.0)),
+    )
+    p = {
+        "wte": _to_param(r, "token_embd.weight"),
+        "out_norm": _to_param(r, "output_norm.weight"),
+        "blocks": [],
+    }
+    if "output.weight" in r.tensors:
+        p["lm_head"] = _to_param(r, "output.weight")
+    for i in range(cfg.n_layer):
+        b = {}
+        for short, gname in [
+            ("attn_norm", "attn_norm.weight"),
+            ("wq", "attn_q.weight"), ("wk", "attn_k.weight"),
+            ("wv", "attn_v.weight"), ("wo", "attn_output.weight"),
+            ("ffn_norm", "ffn_norm.weight"),
+            ("w_gate", "ffn_gate.weight"), ("w_up", "ffn_up.weight"),
+            ("w_down", "ffn_down.weight"),
+        ]:
+            b[short] = _to_param(r, f"blk.{i}.{gname}")
+        p["blocks"].append(b)
+    return cfg, p
+
+
+def _rms(x, g, eps):
+    return ops.rms_norm(x, eps) * g
+
+
+def _embed(table, ids):
+    if isinstance(table, QuantTensor):
+        sub = QuantTensor(table.qtype, ids.shape + table.shape[1:],
+                          {k: v[ids] for k, v in table.fields.items()},
+                          table.layout)
+        return dequant(sub)
+    return table[ids]
+
+
+def _rope(cfg: LlamaConfig, x, pos):
+    return ops.rope_ext(x, pos, cfg.n_rot, mode=ops.ROPE_TYPE_NEOX,
+                        freq_base=cfg.rope_base,
+                        freq_scale=cfg.rope_freq_scale)
+
+
+def forward(cfg: LlamaConfig, params: dict, tokens: jax.Array,
+            kv: KVCache, start) -> tuple[jax.Array, KVCache]:
+    """tokens (S,) at absolute positions [start, start+S) → (logits, kv)."""
+    S = tokens.shape[0]
+    H, KVH, HD = cfg.n_head, cfg.n_kv_head, cfg.head_dim
+    dt = cfg.compute_dtype
+    pos = start + jnp.arange(S, dtype=jnp.int32)
+    x = _embed(params["wte"], tokens).astype(dt)
+
+    max_seq = kv.max_seq
+    jpos = jnp.arange(max_seq, dtype=jnp.int32)[None, :]
+    ipos = pos[:, None]
+    mask = jnp.where(jpos <= ipos, 0.0, -jnp.inf).astype(jnp.float32)
+
+    for li, blk in enumerate(params["blocks"]):
+        h = _rms(x, blk["attn_norm"], cfg.rms_eps)
+        q = qmatmul(h, blk["wq"]).reshape(S, H, HD)
+        k = qmatmul(h, blk["wk"]).reshape(S, KVH, HD)
+        v = qmatmul(h, blk["wv"]).reshape(S, KVH, HD)
+        q = _rope(cfg, q, pos)
+        k = _rope(cfg, k, pos)
+        kv = kv.update_layer(li, k, v, start)
+        kb = kv.k[li].astype(dt)
+        vb = kv.v[li].astype(dt)
+        att = ops.flash_attn_ext(
+            jnp.transpose(q, (1, 0, 2))[None],
+            jnp.transpose(kb, (1, 0, 2))[None],
+            jnp.transpose(vb, (1, 0, 2))[None],
+            mask=mask, scale=1.0 / (HD ** 0.5))
+        att = jnp.transpose(att[0], (1, 0, 2)).reshape(S, cfg.n_embd)
+        x = x + qmatmul(att, blk["wo"])
+        h2 = _rms(x, blk["ffn_norm"], cfg.rms_eps)
+        gate = ops.silu(qmatmul(h2, blk["w_gate"]))
+        up = qmatmul(h2, blk["w_up"])
+        x = x + qmatmul(gate * up, blk["w_down"])
+
+    x = _rms(x, params["out_norm"], cfg.rms_eps)
+    head = params.get("lm_head", params["wte"])
+    return qmatmul(x, head).astype(jnp.float32), kv.advance(S)
+
+
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=3)
+def forward_jit(cfg, params, tokens, kv, start):
+    return forward(cfg, params, tokens, kv, start)
+
+
+def make_cache(cfg: LlamaConfig, max_seq: int | None = None,
+               dtype=None) -> KVCache:
+    return KVCache.create(cfg.n_layer, max_seq or cfg.n_ctx, cfg.n_kv_head,
+                          cfg.head_dim, dtype or cfg.compute_dtype)
+
+
+def generate(cfg: LlamaConfig, params: dict, prompt_tokens, n_predict: int,
+             sampler=None, max_seq: int | None = None) -> list[int]:
+    from ..runtime.sampling import greedy
+
+    kv = make_cache(cfg, max_seq)
+    toks = jnp.asarray(np.asarray(prompt_tokens, dtype=np.int32))
+    logits, kv = forward_jit(cfg, params, toks, kv, jnp.int32(0))
+    out = list(map(int, prompt_tokens))
+    sampler = sampler or (lambda lg: greedy(lg))
+    out.append(int(sampler(logits[-1])))
+    pos = len(prompt_tokens)
+    for _ in range(n_predict - 1):
+        logits, kv = forward_jit(cfg, params,
+                                 jnp.asarray([out[-1]], dtype=jnp.int32),
+                                 kv, jnp.int32(pos))
+        pos += 1
+        out.append(int(sampler(logits[-1])))
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5), donate_argnums=2)
+def decode_scan(cfg: LlamaConfig, params: dict, kv: KVCache,
+                first_token: jax.Array, start, n_steps: int):
+    """Greedy-decode n_steps tokens entirely on device (lax.scan) — one
+    compiled program instead of one host round-trip per token (the analogue
+    of ggml's cheap per-token graph re-plan, minus the dispatch latency).
+
+    Returns (tokens (n_steps,) int32, kv)."""
+
+    def step(carry, _):
+        tok, kv, pos = carry
+        logits, kv = forward(cfg, params, tok[None], kv, pos)
+        nxt = jnp.argmax(logits[-1]).astype(jnp.int32)
+        return (nxt, kv, pos + 1), nxt
+
+    (_, kv, _), toks = jax.lax.scan(
+        step, (first_token, kv, jnp.int32(start)), length=n_steps)
+    return toks, kv
+
+
+def random_params(cfg: LlamaConfig, seed: int = 0,
+                  qtype: GGMLType | None = None, dtype=jnp.float32) -> dict:
+    rng = np.random.default_rng(seed)
+    D, V, FF = cfg.n_embd, cfg.n_vocab, cfg.n_ff
+    KVD = cfg.n_kv_head * cfg.head_dim
+
+    def mat(r, c, scale=0.02):
+        a = (rng.standard_normal((r, c)) * scale).astype(np.float32)
+        if qtype is not None and c % TYPE_TRAITS[qtype].blck_size == 0:
+            return QuantTensor.quantize(qtype, a)
+        return jnp.asarray(a, dtype)
+
+    p = {"wte": mat(V, D), "out_norm": jnp.ones((D,), dtype), "blocks": []}
+    for _ in range(cfg.n_layer):
+        p["blocks"].append({
+            "attn_norm": jnp.ones((D,), dtype),
+            "wq": mat(D, D), "wk": mat(KVD, D), "wv": mat(KVD, D),
+            "wo": mat(D, D),
+            "ffn_norm": jnp.ones((D,), dtype),
+            "w_gate": mat(FF, D), "w_up": mat(FF, D), "w_down": mat(D, FF),
+        })
+    return p

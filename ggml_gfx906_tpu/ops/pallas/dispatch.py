@@ -1,0 +1,30 @@
+"""Dispatch kernel-layout QuantTensors to the fused Pallas matmuls."""
+from __future__ import annotations
+
+from ...quant.types import GGMLType
+from . import qmm
+
+KERNEL_TYPES = set(qmm_fn := {
+    GGMLType.Q4_K: qmm.qmm_q4_K,
+    GGMLType.Q8_0: qmm.qmm_q8_0,
+    GGMLType.Q4_0: qmm.qmm_q4_0,
+})
+
+
+def matmul(x, qt):
+    """x (..., K) @ qt(N, K).T → (..., N) f32 via the fused kernel.
+    qt must be in kernel layout."""
+    assert qt.layout == "kernel", qt.layout
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    f = qt.fields
+    if qt.qtype == GGMLType.Q4_K:
+        out = qmm.qmm_q4_K(x2, f["qs"], f["dsclo"], f["dschi"],
+                           f["dmlo"], f["dmhi"])
+    elif qt.qtype == GGMLType.Q8_0:
+        out = qmm.qmm_q8_0(x2, f["qs"], f["d"])
+    elif qt.qtype == GGMLType.Q4_0:
+        out = qmm.qmm_q4_0(x2, f["qs"], f["d"])
+    else:
+        raise KeyError(qt.qtype)
+    return out.reshape(*lead, qt.shape[0])

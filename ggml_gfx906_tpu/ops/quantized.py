@@ -1,15 +1,18 @@
 """Quantized tensors on device: pytree container + jax dequant + matmul.
 
-The QuantTensor keeps ggml block fields as separate device arrays
-(struct-of-arrays — the TPU analogue of the reference's repack.cpp re-layout)
-so sub-byte weights stay packed in HBM and are expanded on the fly inside
-jit-compiled code. Dequant math is shared with the bit-exact numpy oracle
-(quant/dequant_math.py), so device dequantization matches the C reference
-exactly in f32.
+QuantTensor keeps ggml block fields as separate device arrays
+(struct-of-arrays — the TPU analogue of the reference's repack.cpp
+re-layout). Two layouts exist:
+
+- "wire": the GGUF byte order, fields exactly as in src/ggml-common.h.
+- "kernel": lane-interleaved layout for the fused Pallas matmul kernels
+  (ops/pallas/qmm.py) — chosen automatically at load for supported types.
+  The transform runs once at load; dequantization from either layout is
+  bit-exact w.r.t. the C reference (shared math, quant/dequant_math.py).
 
 ref: ggml's mul_mat convention — weights are (n_out, n_in) rows and
-`mul_mat(W, x)` dots rows of x with rows of W (src/ggml.c mul_mat;
-SURVEY.md §3.1), i.e. x @ W.T here.
+`mul_mat(W, x)` dots rows of x with rows of W (SURVEY.md §3.1), i.e.
+x @ W.T here.
 """
 from __future__ import annotations
 
@@ -22,7 +25,7 @@ import numpy as np
 from ..quant import dequant_math as dqm
 from ..quant.types import GGMLType, TYPE_TRAITS
 
-# per-type: which struct fields carry data (order matters for dequant calls)
+# wire-layout fields per type (order matters for dequant calls)
 _FIELDS = {
     GGMLType.Q4_0: ("d", "qs"),
     GGMLType.Q4_1: ("d", "m", "qs"),
@@ -38,7 +41,13 @@ _FIELDS = {
     GGMLType.Q8_K: ("d", "qs"),
 }
 
-_DEQUANT = {
+_KFIELDS = {
+    GGMLType.Q4_K: ("qs", "dsclo", "dschi", "dmlo", "dmhi"),
+    GGMLType.Q8_0: ("qs", "d"),
+    GGMLType.Q4_0: ("qs", "d"),
+}
+
+_DEQUANT_WIRE = {
     GGMLType.Q4_0: dqm.dequant_q4_0,
     GGMLType.Q4_1: dqm.dequant_q4_1,
     GGMLType.Q5_0: dqm.dequant_q5_0,
@@ -54,27 +63,87 @@ _DEQUANT = {
 }
 
 
+def _to_kernel_layout(qtype: GGMLType, blocks: np.ndarray) -> dict:
+    """Wire structured blocks (N, nb) → kernel-layout field dict (numpy,
+    once at load). Mirrors ops/pallas/qmm.py layout docs."""
+    from .pallas import qmm
+
+    n = blocks.shape[0]
+    if qtype == GGMLType.Q4_K:
+        sc, mm = dqm.unpack_scale_min_k4(np, np.ascontiguousarray(blocks["scales"]))
+        qs_k, dsclo, dschi, dmlo, dmhi = qmm.q4k_weight_layout(
+            np.ascontiguousarray(blocks["qs"]),
+            np.ascontiguousarray(blocks["d"]), np.ascontiguousarray(blocks["dmin"]),
+            sc, mm)
+        return {"qs": qs_k, "dsclo": dsclo, "dschi": dschi,
+                "dmlo": dmlo, "dmhi": dmhi}
+    if qtype == GGMLType.Q8_0:
+        qs_k, d_k = qmm.q8_weight_layout(
+            np.ascontiguousarray(blocks["qs"]), np.ascontiguousarray(blocks["d"]))
+        return {"qs": qs_k, "d": d_k}
+    if qtype == GGMLType.Q4_0:
+        qs_k, d_k = qmm.q40_weight_layout(
+            np.ascontiguousarray(blocks["qs"]), np.ascontiguousarray(blocks["d"]))
+        return {"qs": qs_k, "d": d_k}
+    raise KeyError(qtype)
+
+
+def _dequant_kernel_layout(qt: "QuantTensor") -> jax.Array:
+    """Bit-exact dequantization from the kernel layout (cold path)."""
+    f = qt.fields
+    if qt.qtype == GGMLType.Q4_K:
+        qs = f["qs"]
+        n, sb, _ = qs.shape
+        qr = qs.reshape(n, sb, 32, 4)             # [j, g]
+        lo = (qr & 0xF).astype(jnp.float32)
+        hi = (qr >> 4).astype(jnp.float32)
+        lo = lo * f["dsclo"][:, :, None, :] - f["dmlo"][:, :, None, :]
+        hi = hi * f["dschi"][:, :, None, :] - f["dmhi"][:, :, None, :]
+        # element (sb, g, half, j)
+        out = jnp.stack([lo, hi], axis=3)          # (n, sb, 32, 2, 4) [j,half,g]
+        out = jnp.transpose(out, (0, 1, 4, 3, 2))  # (n, sb, g, half, j)
+        return out.reshape(n, sb * 256)
+    if qt.qtype == GGMLType.Q8_0:
+        qs, d = f["qs"], f["d"]
+        n, kt, _ = qs.shape
+        qr = qs.reshape(n, kt, 32, 4).astype(jnp.float32)
+        w = qr * d[:, :, None, :]
+        return jnp.transpose(w, (0, 1, 3, 2)).reshape(n, kt * 128)
+    if qt.qtype == GGMLType.Q4_0:
+        qs, d = f["qs"], f["d"]
+        n, kt, _ = qs.shape
+        qr = qs.reshape(n, kt, 16, 8)
+        lo = ((qr & 0xF).astype(jnp.int32) - 8).astype(jnp.float32)
+        hi = ((qr >> 4).astype(jnp.int32) - 8).astype(jnp.float32)
+        lo = lo * d[:, :, None, :]
+        hi = hi * d[:, :, None, :]
+        out = jnp.stack([lo, hi], axis=3)          # (n, kt, 16, 2, 8) [j,half,b]
+        out = jnp.transpose(out, (0, 1, 4, 3, 2))  # (n, kt, b, half, j)
+        return out.reshape(n, kt * 256)
+    raise KeyError(qt.qtype)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class QuantTensor:
     """A quantized weight living on device as packed block fields.
 
-    shape is the logical float shape in C order (e.g. (n_out, n_in));
-    fields are device arrays shaped (*shape[:-1], nb, ...per-field...).
-    """
+    shape is the logical float shape in C order (e.g. (n_out, n_in))."""
 
     qtype: GGMLType
     shape: tuple[int, ...]
     fields: dict[str, jax.Array]
+    layout: str = "wire"
 
     def tree_flatten(self):
-        names = _FIELDS[self.qtype]
-        return tuple(self.fields[n] for n in names), (self.qtype, self.shape, names)
+        names = tuple(sorted(self.fields))
+        return tuple(self.fields[n] for n in names), (
+            self.qtype, self.shape, names, self.layout)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        qtype, shape, names = aux
-        return cls(qtype, shape, dict(zip(names, children)))
+        qtype, shape, names, layout = aux
+        return cls(qtype, shape, dict(zip(names, children)), layout)
 
     @property
     def dtype(self):
@@ -82,33 +151,46 @@ class QuantTensor:
 
     @property
     def nbytes(self) -> int:
-        return sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in self.fields.values())
+        return sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                   for a in self.fields.values())
 
     @classmethod
     def from_blocks(cls, qtype: GGMLType, blocks: np.ndarray,
-                    shape: tuple[int, ...] | None = None,
-                    device=None) -> "QuantTensor":
+                    shape: tuple[int, ...] | None = None, device=None,
+                    prefer_kernel: bool = True) -> "QuantTensor":
         """From a numpy structured block array (e.g. GGUFReader.tensor_blocks)."""
         tt = TYPE_TRAITS[qtype]
         if shape is None:
             shape = blocks.shape[:-1] + (blocks.shape[-1] * tt.blck_size,)
-        fields = {}
-        for name in _FIELDS[qtype]:
-            arr = np.ascontiguousarray(blocks[name])
-            fields[name] = jax.device_put(arr, device)
-        return cls(qtype, tuple(shape), fields)
+        use_kernel = (prefer_kernel and qtype in _KFIELDS
+                      and len(blocks.shape) == 2
+                      and shape[-1] % 256 == 0)
+        if use_kernel:
+            fields_np = _to_kernel_layout(qtype, blocks)
+            layout = "kernel"
+        else:
+            fields_np = {name: np.ascontiguousarray(blocks[name])
+                         for name in _FIELDS[qtype]}
+            layout = "wire"
+        fields = {k: jax.device_put(v, device) for k, v in fields_np.items()}
+        return cls(qtype, tuple(shape), fields, layout)
 
     @classmethod
-    def quantize(cls, qtype: GGMLType, x: np.ndarray, device=None) -> "QuantTensor":
+    def quantize(cls, qtype: GGMLType, x: np.ndarray, device=None,
+                 prefer_kernel: bool = True) -> "QuantTensor":
         from ..quant.registry import quantize
 
-        return cls.from_blocks(qtype, quantize(qtype, x), x.shape, device)
+        return cls.from_blocks(qtype, quantize(qtype, x), x.shape, device,
+                               prefer_kernel)
 
 
 def dequant(qt: QuantTensor, dtype=jnp.float32) -> jax.Array:
     """Expand to a dense array of qt.shape (bit-exact f32 w.r.t. the C ref)."""
-    fn = _DEQUANT[qt.qtype]
-    y = fn(jnp, *(qt.fields[n] for n in _FIELDS[qt.qtype]))
+    if qt.layout == "kernel":
+        y = _dequant_kernel_layout(qt)
+    else:
+        fn = _DEQUANT_WIRE[qt.qtype]
+        y = fn(jnp, *(qt.fields[n] for n in _FIELDS[qt.qtype]))
     return y.reshape(qt.shape).astype(dtype)
 
 
@@ -116,12 +198,14 @@ def qmatmul(x: jax.Array, w: QuantTensor | jax.Array,
             compute_dtype=None, precision=None) -> jax.Array:
     """x: (..., K) @ w(N, K).T → (..., N)  (ggml mul_mat convention).
 
-    Correctness-first XLA path: dequantize-on-the-fly then dot. The fused
-    Pallas kernels (ops/pallas) replace this on the hot path. f32 inputs
-    default to full-precision accumulation (XLA's DEFAULT would silently
-    round through bf16 on TPU); bf16 model code passes precision explicitly.
-    """
+    Kernel-layout QuantTensors go through the fused Pallas kernels; others
+    take the XLA dequant-then-dot fallback. f32 fallback pins HIGHEST
+    precision (XLA's default silently rounds through bf16 on TPU)."""
     if isinstance(w, QuantTensor):
+        if w.layout == "kernel":
+            from .pallas import dispatch
+
+            return dispatch.matmul(x, w).astype(x.dtype)
         wd = dequant(w, compute_dtype or x.dtype)
     else:
         wd = w.astype(compute_dtype or x.dtype)
