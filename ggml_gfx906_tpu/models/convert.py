@@ -89,6 +89,51 @@ def convert_llama(state_dict: dict, config, path,
     return path
 
 
+def convert_gptj(state_dict: dict, config, path,
+                 ftype: GGMLType = GGMLType.F32,
+                 tokens: list[str] | None = None):
+    """HF GPTJForCausalLM state_dict → gptj GGUF. HF Linear is (out, in) —
+    no transpose (unlike gpt2's Conv1D). Rotary is interleaved (ggml NORMAL
+    mode), weights map 1:1."""
+
+    def t(name):
+        return state_dict[name].detach().cpu().numpy().astype(np.float32)
+
+    w = GGUFWriter()
+    w.set("general.architecture", "gptj")
+    w.set("gptj.vocab_size", int(config.vocab_size))
+    w.set("gptj.context_length", int(config.n_positions))
+    w.set("gptj.embedding_length", int(config.n_embd))
+    w.set("gptj.block_count", int(config.n_layer))
+    w.set("gptj.attention.head_count", int(config.n_head))
+    w.set("gptj.rope.dimension_count", int(config.rotary_dim))
+    w.set("gptj.attention.layer_norm_epsilon", float(config.layer_norm_epsilon))
+    if tokens is not None:
+        w.set("tokenizer.ggml.model", "gpt2")
+        w.set("tokenizer.ggml.tokens", tokens)
+
+    _add(w, "token_embd.weight", t("transformer.wte.weight"), ftype)
+    _add(w, "output_norm.weight", t("transformer.ln_f.weight"), ftype)
+    _add(w, "output_norm.bias", t("transformer.ln_f.bias"), ftype)
+    _add(w, "output.weight", t("lm_head.weight"), ftype)
+    _add(w, "output.bias", t("lm_head.bias"), ftype)
+    for i in range(config.n_layer):
+        hf = f"transformer.h.{i}."
+        gg = f"blk.{i}."
+        _add(w, gg + "attn_norm.weight", t(hf + "ln_1.weight"), ftype)
+        _add(w, gg + "attn_norm.bias", t(hf + "ln_1.bias"), ftype)
+        _add(w, gg + "attn_q.weight", t(hf + "attn.q_proj.weight"), ftype)
+        _add(w, gg + "attn_k.weight", t(hf + "attn.k_proj.weight"), ftype)
+        _add(w, gg + "attn_v.weight", t(hf + "attn.v_proj.weight"), ftype)
+        _add(w, gg + "attn_output.weight", t(hf + "attn.out_proj.weight"), ftype)
+        _add(w, gg + "ffn_up.weight", t(hf + "mlp.fc_in.weight"), ftype)
+        _add(w, gg + "ffn_up.bias", t(hf + "mlp.fc_in.bias"), ftype)
+        _add(w, gg + "ffn_down.weight", t(hf + "mlp.fc_out.weight"), ftype)
+        _add(w, gg + "ffn_down.bias", t(hf + "mlp.fc_out.bias"), ftype)
+    w.write(path)
+    return path
+
+
 def convert_gpt2(state_dict: dict, config, path, ftype: GGMLType = GGMLType.F32,
                  tokens: list[str] | None = None,
                  merges: list[str] | None = None):

@@ -192,6 +192,61 @@ def generate(cfg: LlamaConfig, params: dict, prompt_tokens, n_predict: int,
     return out
 
 
+def forward_batch(cfg: LlamaConfig, params: dict, tokens: jax.Array,
+                  kv, start: jax.Array):
+    """Batched serving forward: tokens (B, S) at per-slot positions
+    start (B,) against a BatchedKVCache → (logits (B, S, V), kv).
+
+    Slots are independent sequences (the reference's seq_id batching,
+    examples/gpt-2/main-batched.cpp): each slot attends only to its own
+    cache region below its current position."""
+    B, S = tokens.shape
+    H, KVH, HD = cfg.n_head, cfg.n_kv_head, cfg.head_dim
+    dt = cfg.compute_dtype
+    pos = start[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]  # (B, S)
+    x = _embed(params["wte"], tokens).astype(dt)
+
+    max_seq = kv.max_seq
+    jpos = jnp.arange(max_seq, dtype=jnp.int32)[None, None, :]
+    mask = jnp.where(jpos <= pos[:, :, None], 0.0, -jnp.inf)  # (B, S, max_seq)
+    mask = mask[:, None].astype(jnp.float32)                  # (B, 1, S, M)
+
+    for li, blk in enumerate(params["blocks"]):
+        h = _rms(x, blk["attn_norm"], cfg.rms_eps)
+        q = qmatmul(h, blk["wq"]).reshape(B, S, H, HD)
+        k = qmatmul(h, blk["wk"]).reshape(B, S, KVH, HD)
+        v = qmatmul(h, blk["wv"]).reshape(B, S, KVH, HD)
+        q = _rope(cfg, q, pos)
+        k = _rope(cfg, k, pos)
+        kv = kv.update_layer(li, k, v, start)
+        att = ops.flash_attn_ext(
+            jnp.transpose(q, (0, 2, 1, 3)),
+            jnp.transpose(kv.k[li].astype(dt), (0, 2, 1, 3)),
+            jnp.transpose(kv.v[li].astype(dt), (0, 2, 1, 3)),
+            mask=mask, scale=1.0 / (HD ** 0.5))
+        att = jnp.transpose(att, (0, 2, 1, 3)).reshape(B, S, cfg.n_embd)
+        x = x + qmatmul(att, blk["wo"])
+        h2 = _rms(x, blk["ffn_norm"], cfg.rms_eps)
+        gate = ops.silu(qmatmul(h2, blk["w_gate"]))
+        up = qmatmul(h2, blk["w_up"])
+        x = x + qmatmul(gate * up, blk["w_down"])
+
+    x = _rms(x, params["out_norm"], cfg.rms_eps)
+    head = params.get("lm_head", params["wte"])
+    return qmatmul(x, head).astype(jnp.float32), kv
+
+
+def prefill_kv(cfg: LlamaConfig, params: dict, tokens: jax.Array,
+               max_seq: int):
+    """Single-sequence prefill producing (logits (S,V), k (L,max_seq,H,D), v)
+    for slot installation (engine admission path). tokens may be padded to a
+    bucket length; the caller reads the logits row of the true last token
+    (padding K/V beyond it is overwritten by subsequent decode writes)."""
+    kv = make_cache(cfg, max_seq)
+    logits, kv = forward(cfg, params, tokens, kv, jnp.int32(0))
+    return logits, kv.k, kv.v
+
+
 @functools.partial(jax.jit, static_argnums=(0, 5), donate_argnums=2)
 def decode_scan(cfg: LlamaConfig, params: dict, kv: KVCache,
                 first_token: jax.Array, start, n_steps: int):

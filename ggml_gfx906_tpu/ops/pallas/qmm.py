@@ -51,15 +51,13 @@ def _nibbles(q_u8):
 
 
 def _pick_tiles(m, n, k_tiles):
-    """Tile sizes; k is tiled in units of 128-lane tiles."""
+    """Tile sizes; k is tiled in units of 128-lane tiles. Kept small: the
+    statically unrolled k loop keeps temporaries live, and v5e has 16 MB
+    VMEM/core (empirically tn=256,tkt=16 blows the scoped-vmem budget on
+    the 11008-row FFN matmuls)."""
     tm = min(128, max(8, m))
-    tn = min(256, n)
-    if k_tiles <= 8:
-        tkt = k_tiles
-    else:
-        tkt = 8
-        while tkt * 2 <= min(k_tiles, 32) and k_tiles % (tkt * 2) == 0:
-            tkt *= 2
+    tn = min(128, n)
+    tkt = k_tiles if k_tiles <= 8 else 8
     return tm, tn, tkt
 
 
