@@ -36,11 +36,11 @@ def random_q4k(rng, n, k, device=None):
     sb = k // 256
     scale = np.float32(0.02 / 8)
     fields = {
-        "qs": rng.integers(0, 256, (n, sb, 128), dtype=np.uint8),
-        "dsclo": (rng.random((n, sb, 4), dtype=np.float32) * scale),
-        "dschi": (rng.random((n, sb, 4), dtype=np.float32) * scale),
-        "dmlo": (rng.random((n, sb, 4), dtype=np.float32) * scale * 8),
-        "dmhi": (rng.random((n, sb, 4), dtype=np.float32) * scale * 8),
+        "qs": rng.integers(0, 256, (n, sb * 128), dtype=np.uint8),
+        "dsclo": (rng.random((n, sb * 4), dtype=np.float32) * scale),
+        "dschi": (rng.random((n, sb * 4), dtype=np.float32) * scale),
+        "dmlo": (rng.random((n, sb * 4), dtype=np.float32) * scale * 8),
+        "dmhi": (rng.random((n, sb * 4), dtype=np.float32) * scale * 8),
     }
     fields = {kk: jax.device_put(v, device) for kk, v in fields.items()}
     return QuantTensor(GGMLType.Q4_K, (n, k), fields, "kernel")

@@ -133,12 +133,10 @@ def forward(cfg: GPT2Config, params: dict, tokens: jax.Array,
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(S, H, HD)
         kv = kv.update_layer(li, k.reshape(S, H, HD), v.reshape(S, H, HD), start)
-        kb = kv.k[li].astype(dt)  # (max_seq, H, HD)
-        vb = kv.v[li].astype(dt)
         att = ops.flash_attn_ext(
             jnp.transpose(q, (1, 0, 2))[None],
-            jnp.transpose(kb, (1, 0, 2))[None],
-            jnp.transpose(vb, (1, 0, 2))[None],
+            kv.k[li].astype(dt)[None],  # cache already (H, max_seq, HD)
+            kv.v[li].astype(dt)[None],
             mask=mask,
             scale=1.0 / (HD ** 0.5),
         )  # (1, H, S, HD)

@@ -115,8 +115,8 @@ def forward(cfg: GPTJConfig, params: dict, tokens: jax.Array,
         kv = kv.update_layer(li, k, v, start)
         att = ops.flash_attn_ext(
             jnp.transpose(q, (1, 0, 2))[None],
-            jnp.transpose(kv.k[li].astype(dt), (1, 0, 2))[None],
-            jnp.transpose(kv.v[li].astype(dt), (1, 0, 2))[None],
+            kv.k[li].astype(dt)[None],  # cache already (H, max_seq, HD)
+            kv.v[li].astype(dt)[None],
             mask=mask, scale=1.0 / (HD ** 0.5))
         att = jnp.transpose(att[0], (1, 0, 2)).reshape(S, cfg.n_embd)
         att_out = qmatmul(att, blk["wo"])

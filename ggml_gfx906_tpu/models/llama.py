@@ -142,12 +142,10 @@ def forward(cfg: LlamaConfig, params: dict, tokens: jax.Array,
         q = _rope(cfg, q, pos)
         k = _rope(cfg, k, pos)
         kv = kv.update_layer(li, k, v, start)
-        kb = kv.k[li].astype(dt)
-        vb = kv.v[li].astype(dt)
         att = ops.flash_attn_ext(
             jnp.transpose(q, (1, 0, 2))[None],
-            jnp.transpose(kb, (1, 0, 2))[None],
-            jnp.transpose(vb, (1, 0, 2))[None],
+            kv.k[li].astype(dt)[None],  # cache already (H, max_seq, HD)
+            kv.v[li].astype(dt)[None],
             mask=mask, scale=1.0 / (HD ** 0.5))
         att = jnp.transpose(att[0], (1, 0, 2)).reshape(S, cfg.n_embd)
         x = x + qmatmul(att, blk["wo"])
@@ -221,8 +219,8 @@ def forward_batch(cfg: LlamaConfig, params: dict, tokens: jax.Array,
         kv = kv.update_layer(li, k, v, start)
         att = ops.flash_attn_ext(
             jnp.transpose(q, (0, 2, 1, 3)),
-            jnp.transpose(kv.k[li].astype(dt), (0, 2, 1, 3)),
-            jnp.transpose(kv.v[li].astype(dt), (0, 2, 1, 3)),
+            kv.k[li].astype(dt),  # cache already (B, H, max_seq, HD)
+            kv.v[li].astype(dt),
             mask=mask, scale=1.0 / (HD ** 0.5))
         att = jnp.transpose(att, (0, 2, 1, 3)).reshape(B, S, cfg.n_embd)
         x = x + qmatmul(att, blk["wo"])

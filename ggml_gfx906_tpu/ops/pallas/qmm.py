@@ -6,15 +6,20 @@ src/ggml-cuda/q4_0-gfx906.cuh etc.). Weights stay packed in HBM and are
 expanded in VMEM right before feeding the MXU — one pass over the packed
 bytes per matmul instead of XLA's dequantize-to-dense-then-dot.
 
-Layout: "lane-interleaved blocks". TPU lanes are 128 wide and Mosaic
-supports lane-tiling via pltpu.repeat (period-G tile) but not arbitrary
-lane-crossing reshapes. So at load time the packed bytes are re-interleaved
-so that lane l belongs to sub-block (l % G) of its 128-lane tile
-(G = 4 sub-blocks for Q4_K, 4×32-blocks for Q8_0, 8×16-byte blocks for
-Q4_0); per-block scales then expand with a single pltpu.repeat. The small
-activation matrix is permuted to the same element order outside the kernel
-(XLA fuses it). In-kernel: loop over 128-lane tiles → unpack → scale →
-128-deep MXU dot, accumulating in a VMEM scratch across the K grid axis.
+Layout rules learned on hardware (v5e, Mosaic):
+- All HBM operands are 2-D with lane-dense rows: 3-D arrays with small
+  trailing dims get tiled-layout padding in HBM (observed 32x expansion on
+  (N, Sb, 4) f32 scales → 51 GB OOM for a 7B model).
+- Within a 128-byte lane tile, bytes are interleaved so lane l belongs to
+  sub-block l % G (G = 4 for Q4_K 64-element groups, 4×32-blocks for Q8_0,
+  8×16-byte blocks for Q4_0); per-block scales then expand with one
+  pltpu.repeat. The activation matrix is permuted to match outside the
+  kernel (XLA fuses that).
+- The whole K dimension is one grid step (block lane dim == array lane dim
+  is always legal, and out-of-bounds block padding is undefined — NaN in
+  interpret mode — so no K padding may ever be read). The in-kernel loop
+  over K lane-tiles is statically unrolled (dynamic u8 slices don't
+  legalize; 8-bit shifts don't either — widen to i32 first).
 
 This is the direct analogue of repack.cpp's load-time re-layout plus the
 LDS-tiled dot kernels of the gfx906 fork.
@@ -28,7 +33,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
 def _cdiv(a, b):
     return -(-a // b)
 
@@ -39,53 +43,9 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _f32(x):
-    return x.astype(jnp.int32).astype(jnp.float32)
-
-
 def _nibbles(q_u8):
-    """u8 → (lo, hi) f32. 8-bit shifts don't legalize on Mosaic — widen to
-    int32 first."""
     q = q_u8.astype(jnp.int32)
     return (q & 0xF).astype(jnp.float32), (q >> 4).astype(jnp.float32)
-
-
-def _pick_tiles(m, n, k_tiles):
-    """Tile sizes; k is tiled in units of 128-lane tiles. Kept small: the
-    statically unrolled k loop keeps temporaries live, and v5e has 16 MB
-    VMEM/core (empirically tn=256,tkt=16 blows the scoped-vmem budget on
-    the 11008-row FFN matmuls)."""
-    tm = min(128, max(8, m))
-    tn = min(128, n)
-    tkt = k_tiles if k_tiles <= 8 else 8
-    return tm, tn, tkt
-
-
-def _common_call(kernel, m, n, kt, tm, tn, tkt, x_inputs, w_inputs):
-    """Shared pallas_call plumbing: grid (M/tm, N/tn, KT/tkt); operands are
-    3-D (rows, k_tiles, lanes) with k sliced on the middle axis."""
-    n_k = _cdiv(kt, tkt)
-    grid = (_cdiv(m, tm), _cdiv(n, tn), n_k)
-
-    def xspec(lanes):
-        return pl.BlockSpec((tm, tkt, lanes), lambda i, j, k: (i, k, 0))
-
-    def wspec(lanes):
-        return pl.BlockSpec((tn, tkt, lanes), lambda i, j, k: (j, k, 0))
-
-    in_specs = [xspec(s.shape[2]) for s in x_inputs] + \
-               [wspec(s.shape[2]) for s in w_inputs]
-    return pl.pallas_call(
-        functools.partial(kernel, n_k=n_k, tkt=tkt),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
-        interpret=_interpret(),
-    )(*x_inputs, *w_inputs)
 
 
 def _dot_nt(a, b):
@@ -94,165 +54,175 @@ def _dot_nt(a, b):
                                preferred_element_type=jnp.float32)
 
 
+def _pick_mn(m, n):
+    tm = min(64, max(8, m))
+    tn = min(128, n)
+    return tm, tn
+
+
+def _common_call(kernel, m, n, kt, tm, tn, x_inputs, x_lanes, w_inputs,
+                 w_lanes):
+    """grid (M/tm, N/tn); K is not tiled (full-row blocks — always legal and
+    never reads block padding); lane widths are per-lane-tile."""
+    grid = (_cdiv(m, tm), _cdiv(n, tn))
+    in_specs = (
+        [pl.BlockSpec((tm, kt * ln), lambda i, j: (i, 0)) for ln in x_lanes]
+        + [pl.BlockSpec((tn, kt * ln), lambda i, j: (j, 0)) for ln in w_lanes]
+    )
+    return pl.pallas_call(
+        functools.partial(kernel, kt=kt),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=_interpret(),
+    )(*x_inputs, *w_inputs)
+
+
 # ---------------------------------------------------------------- Q4_K
-# kernel layout per 256-element superblock (one 128-lane tile of bytes):
+# per 256-element superblock = one 128-byte lane tile:
 #   byte lane l = 4*j + g  (g = 64-element group 0..3, j = byte 0..31)
 #   lo nibble → element 256*sb + 64*g + j      (sub-block 2g)
 #   hi nibble → element 256*sb + 64*g + 32 + j (sub-block 2g+1)
+# scales: 4 f32 per superblock per field, flattened (N, Sb*4)
 
 def _q4k_kernel(xlo_ref, xhi_ref, qs_ref, dsclo_ref, dschi_ref,
-                dmlo_ref, dmhi_ref, out_ref, acc_ref, *, n_k: int, tkt: int):
-    k = pl.program_id(2)
-
-    @pl.when(k == 0)
-    def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    for i in range(tkt):  # static unroll: dynamic i8 mid-dim slices don't
-        lo, hi = _nibbles(qs_ref[:, i, :])        # legalize on Mosaic
-        wlo = lo * pltpu.repeat(dsclo_ref[:, i, :], 32, axis=1) \
-            - pltpu.repeat(dmlo_ref[:, i, :], 32, axis=1)
-        whi = hi * pltpu.repeat(dschi_ref[:, i, :], 32, axis=1) \
-            - pltpu.repeat(dmhi_ref[:, i, :], 32, axis=1)
-        acc_ref[...] += _dot_nt(xlo_ref[:, i, :], wlo)
-        acc_ref[...] += _dot_nt(xhi_ref[:, i, :], whi)
-
-    @pl.when(k == n_k - 1)
-    def _():
-        out_ref[...] = acc_ref[...]
+                dmlo_ref, dmhi_ref, out_ref, *, kt: int):
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for i in range(kt):
+        lo, hi = _nibbles(qs_ref[:, i * 128:(i + 1) * 128])
+        s4 = slice(i * 4, (i + 1) * 4)
+        wlo = lo * pltpu.repeat(dsclo_ref[:, s4], 32, axis=1) \
+            - pltpu.repeat(dmlo_ref[:, s4], 32, axis=1)
+        whi = hi * pltpu.repeat(dschi_ref[:, s4], 32, axis=1) \
+            - pltpu.repeat(dmhi_ref[:, s4], 32, axis=1)
+        acc += _dot_nt(xlo_ref[:, i * 128:(i + 1) * 128], wlo)
+        acc += _dot_nt(xhi_ref[:, i * 128:(i + 1) * 128], whi)
+    out_ref[...] = acc
 
 
 def q4k_weight_layout(qs, d, dmin, sc, mm):
-    """Wire fields → kernel operands.
+    """Wire fields → kernel operands (all 2-D, lane-dense).
 
-    qs (N, Sb, 128) u8 wire → lane-interleaved (N, Sb, 128); scales
-    pre-multiplied: dsc_lo/hi = d*sc[even/odd], dm_lo/hi = dmin*mm[even/odd],
-    all (N, Sb, 4) f32 (32 B per 256 weights → ~5.5 effective bpw)."""
+    qs (N, Sb, 128) u8 → lane-interleaved (N, Sb*128);
+    dsc_lo/hi = d*sc[even/odd], dm_lo/hi = dmin*mm[even/odd], (N, Sb*4) f32."""
     n, sb, _ = qs.shape
-    qs_k = qs.reshape(n, sb, 4, 32).transpose(0, 1, 3, 2).reshape(n, sb, 128)
+    qs_k = qs.reshape(n, sb, 4, 32).transpose(0, 1, 3, 2).reshape(n, sb * 128)
     d32 = d.astype(jnp.float32)[..., None]
     m32 = dmin.astype(jnp.float32)[..., None]
     scf = sc.astype(jnp.float32)
     mmf = mm.astype(jnp.float32)
-    return (qs_k, d32 * scf[..., 0::2], d32 * scf[..., 1::2],
-            m32 * mmf[..., 0::2], m32 * mmf[..., 1::2])
+    r = lambda a: a.reshape(n, sb * 4)
+    return (qs_k, r(d32 * scf[..., 0::2]), r(d32 * scf[..., 1::2]),
+            r(m32 * mmf[..., 0::2]), r(m32 * mmf[..., 1::2]))
 
 
 def q4k_split_x(x):
-    """x (M, K) → x_lo, x_hi (M, K/256, 128) in kernel element order."""
+    """x (M, K) → x_lo, x_hi (M, K/2) in kernel element order."""
     m, kdim = x.shape
     xr = x.reshape(m, kdim // 256, 4, 2, 32)      # (M, sb, g, half, j)
-    xlo = xr[:, :, :, 0, :].transpose(0, 1, 3, 2).reshape(m, kdim // 256, 128)
-    xhi = xr[:, :, :, 1, :].transpose(0, 1, 3, 2).reshape(m, kdim // 256, 128)
+    xlo = xr[:, :, :, 0, :].transpose(0, 1, 3, 2).reshape(m, kdim // 2)
+    xhi = xr[:, :, :, 1, :].transpose(0, 1, 3, 2).reshape(m, kdim // 2)
     return xlo, xhi
 
 
 def qmm_q4_K(x, qs_k, dsclo, dschi, dmlo, dmhi):
     """x (M, K) @ W(N, K).T, W in Q4_K kernel layout → (M, N) f32."""
     m, kdim = x.shape
-    n, kt, _ = qs_k.shape
-    assert kdim == kt * 256, (x.shape, qs_k.shape)
+    n = qs_k.shape[0]
+    kt = kdim // 256
+    assert qs_k.shape[1] == kt * 128, (x.shape, qs_k.shape)
     xlo, xhi = q4k_split_x(x.astype(jnp.float32))
-    tm, tn, tkt = _pick_tiles(m, n, kt)
-    return _common_call(_q4k_kernel, m, n, kt, tm, tn, tkt,
-                        [xlo, xhi], [qs_k, dsclo, dschi, dmlo, dmhi])
+    tm, tn = _pick_mn(m, n)
+    return _common_call(_q4k_kernel, m, n, kt, tm, tn,
+                        [xlo, xhi], [128, 128],
+                        [qs_k, dsclo, dschi, dmlo, dmhi],
+                        [128, 4, 4, 4, 4])
 
 
 # ---------------------------------------------------------------- Q8_0
-# kernel layout per 128-element tile: byte lane l = 4*j + b
-# (b = 32-block 0..3, j = byte 0..31) → element 128*t + 32*b + j
+# per 128-element lane tile: byte lane l = 4*j + b (b = 32-block 0..3)
+# → element 128*t + 32*b + j; d flattened (N, K/32) in natural block order
+# (block of lane l in tile t = 4*t + l%4)
 
-def _q8_kernel(x_ref, qs_ref, d_ref, out_ref, acc_ref, *, n_k: int, tkt: int):
-    k = pl.program_id(2)
-
-    @pl.when(k == 0)
-    def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    for i in range(tkt):  # static unroll (see _q4k_kernel)
-        w = qs_ref[:, i, :].astype(jnp.float32) * \
-            pltpu.repeat(d_ref[:, i, :], 32, axis=1)
-        acc_ref[...] += _dot_nt(x_ref[:, i, :], w)
-
-    @pl.when(k == n_k - 1)
-    def _():
-        out_ref[...] = acc_ref[...]
+def _q8_kernel(x_ref, qs_ref, d_ref, out_ref, *, kt: int):
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for i in range(kt):
+        w = qs_ref[:, i * 128:(i + 1) * 128].astype(jnp.float32) * \
+            pltpu.repeat(d_ref[:, i * 4:(i + 1) * 4], 32, axis=1)
+        acc += _dot_nt(x_ref[:, i * 128:(i + 1) * 128], w)
+    out_ref[...] = acc
 
 
 def q8_weight_layout(qs, d):
-    """qs (N, nb, 32) i8 wire → (N, K/128, 128); d (N, nb) → (N, K/128, 4) f32."""
+    """qs (N, nb, 32) i8 → (N, K) lane-interleaved; d (N, nb) → (N, K/32) f32."""
     n, nb, _ = qs.shape
     kdim = nb * 32
-    qs_k = qs.reshape(n, kdim // 128, 4, 32).transpose(0, 1, 3, 2).reshape(
-        n, kdim // 128, 128)
-    d_k = d.astype(jnp.float32).reshape(n, kdim // 128, 4)
+    qs_k = qs.reshape(n, kdim // 128, 4, 32).transpose(0, 1, 3, 2).reshape(n, kdim)
+    d_k = d.astype(jnp.float32).reshape(n, kdim // 32)
     return qs_k, d_k
 
 
 def q8_split_x(x):
     m, kdim = x.shape
     xr = x.reshape(m, kdim // 128, 4, 32)
-    return xr.transpose(0, 1, 3, 2).reshape(m, kdim // 128, 128)
+    return xr.transpose(0, 1, 3, 2).reshape(m, kdim)
 
 
 def qmm_q8_0(x, qs_k, d_k):
     m, kdim = x.shape
-    n, kt, _ = qs_k.shape
-    assert kdim == kt * 128, (x.shape, qs_k.shape)
+    n = qs_k.shape[0]
+    kt = kdim // 128
+    assert qs_k.shape[1] == kdim, (x.shape, qs_k.shape)
     xk = q8_split_x(x.astype(jnp.float32))
-    tm, tn, tkt = _pick_tiles(m, n, kt)
-    return _common_call(_q8_kernel, m, n, kt, tm, tn, tkt, [xk], [qs_k, d_k])
+    tm, tn = _pick_mn(m, n)
+    return _common_call(_q8_kernel, m, n, kt, tm, tn,
+                        [xk], [128], [qs_k, d_k], [128, 4])
 
 
 # ---------------------------------------------------------------- Q4_0
-# kernel layout per 256-element tile (128 packed bytes): byte lane
-# l = 8*j + b (b = 32-block 0..7, j = byte 0..15);
-# lo nibble → element 256*t + 32*b + j, hi → +16
+# per 256-element lane tile (128 packed bytes): byte lane l = 8*j + b
+# (b = 32-block 0..7, j = byte 0..15); lo → 256*t + 32*b + j, hi → +16;
+# d (N, K/32) natural order (block of lane l in tile t = 8*t + l%8)
 
-def _q40_kernel(xlo_ref, xhi_ref, qs_ref, d_ref, out_ref, acc_ref,
-                *, n_k: int, tkt: int):
-    k = pl.program_id(2)
-
-    @pl.when(k == 0)
-    def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    for i in range(tkt):  # static unroll (see _q4k_kernel)
-        lo, hi = _nibbles(qs_ref[:, i, :])
-        drep = pltpu.repeat(d_ref[:, i, :], 16, axis=1)   # (tn, 128)
+def _q40_kernel(xlo_ref, xhi_ref, qs_ref, d_ref, out_ref, *, kt: int):
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for i in range(kt):
+        lo, hi = _nibbles(qs_ref[:, i * 128:(i + 1) * 128])
+        drep = pltpu.repeat(d_ref[:, i * 8:(i + 1) * 8], 16, axis=1)
         wlo = (lo - 8.0) * drep
         whi = (hi - 8.0) * drep
-        acc_ref[...] += _dot_nt(xlo_ref[:, i, :], wlo)
-        acc_ref[...] += _dot_nt(xhi_ref[:, i, :], whi)
-
-    @pl.when(k == n_k - 1)
-    def _():
-        out_ref[...] = acc_ref[...]
+        acc += _dot_nt(xlo_ref[:, i * 128:(i + 1) * 128], wlo)
+        acc += _dot_nt(xhi_ref[:, i * 128:(i + 1) * 128], whi)
+    out_ref[...] = acc
 
 
 def q40_weight_layout(qs, d):
-    """qs (N, nb, 16) u8 wire → (N, K/256, 128); d (N, nb) → (N, K/256, 8) f32."""
+    """qs (N, nb, 16) u8 → (N, K/2); d (N, nb) → (N, K/32) f32."""
     n, nb, _ = qs.shape
     kdim = nb * 32
     qs_k = qs.reshape(n, kdim // 256, 8, 16).transpose(0, 1, 3, 2).reshape(
-        n, kdim // 256, 128)
-    d_k = d.astype(jnp.float32).reshape(n, kdim // 256, 8)
+        n, kdim // 2)
+    d_k = d.astype(jnp.float32).reshape(n, kdim // 32)
     return qs_k, d_k
 
 
 def q40_split_x(x):
     m, kdim = x.shape
     xr = x.reshape(m, kdim // 256, 8, 2, 16)      # (M, t, b, half, j)
-    xlo = xr[:, :, :, 0, :].transpose(0, 1, 3, 2).reshape(m, kdim // 256, 128)
-    xhi = xr[:, :, :, 1, :].transpose(0, 1, 3, 2).reshape(m, kdim // 256, 128)
+    xlo = xr[:, :, :, 0, :].transpose(0, 1, 3, 2).reshape(m, kdim // 2)
+    xhi = xr[:, :, :, 1, :].transpose(0, 1, 3, 2).reshape(m, kdim // 2)
     return xlo, xhi
 
 
 def qmm_q4_0(x, qs_k, d_k):
     m, kdim = x.shape
-    n, kt, _ = qs_k.shape
-    assert kdim == kt * 256, (x.shape, qs_k.shape)
+    n = qs_k.shape[0]
+    kt = kdim // 256
+    assert qs_k.shape[1] == kdim // 2, (x.shape, qs_k.shape)
     xlo, xhi = q40_split_x(x.astype(jnp.float32))
-    tm, tn, tkt = _pick_tiles(m, n, kt)
-    return _common_call(_q40_kernel, m, n, kt, tm, tn, tkt,
-                        [xlo, xhi], [qs_k, d_k])
+    tm, tn = _pick_mn(m, n)
+    return _common_call(_q40_kernel, m, n, kt, tm, tn,
+                        [xlo, xhi], [128, 128], [qs_k, d_k], [128, 8])

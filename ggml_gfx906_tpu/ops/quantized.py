@@ -89,30 +89,35 @@ def _to_kernel_layout(qtype: GGMLType, blocks: np.ndarray) -> dict:
 
 
 def _dequant_kernel_layout(qt: "QuantTensor") -> jax.Array:
-    """Bit-exact dequantization from the kernel layout (cold path)."""
+    """Bit-exact dequantization from the (2-D lane-dense) kernel layout
+    (cold path; the hot path never expands weights)."""
     f = qt.fields
+    n = qt.shape[0]
     if qt.qtype == GGMLType.Q4_K:
-        qs = f["qs"]
-        n, sb, _ = qs.shape
-        qr = qs.reshape(n, sb, 32, 4)             # [j, g]
+        sb = f["qs"].shape[1] // 128
+        qr = f["qs"].reshape(n, sb, 32, 4)        # [j, g]
         lo = (qr & 0xF).astype(jnp.float32)
         hi = (qr >> 4).astype(jnp.float32)
-        lo = lo * f["dsclo"][:, :, None, :] - f["dmlo"][:, :, None, :]
-        hi = hi * f["dschi"][:, :, None, :] - f["dmhi"][:, :, None, :]
+        dsclo = f["dsclo"].reshape(n, sb, 4)
+        dschi = f["dschi"].reshape(n, sb, 4)
+        dmlo = f["dmlo"].reshape(n, sb, 4)
+        dmhi = f["dmhi"].reshape(n, sb, 4)
+        lo = lo * dsclo[:, :, None, :] - dmlo[:, :, None, :]
+        hi = hi * dschi[:, :, None, :] - dmhi[:, :, None, :]
         # element (sb, g, half, j)
         out = jnp.stack([lo, hi], axis=3)          # (n, sb, 32, 2, 4) [j,half,g]
         out = jnp.transpose(out, (0, 1, 4, 3, 2))  # (n, sb, g, half, j)
         return out.reshape(n, sb * 256)
     if qt.qtype == GGMLType.Q8_0:
-        qs, d = f["qs"], f["d"]
-        n, kt, _ = qs.shape
-        qr = qs.reshape(n, kt, 32, 4).astype(jnp.float32)
+        kt = f["qs"].shape[1] // 128
+        qr = f["qs"].reshape(n, kt, 32, 4).astype(jnp.float32)
+        d = f["d"].reshape(n, kt, 4)
         w = qr * d[:, :, None, :]
         return jnp.transpose(w, (0, 1, 3, 2)).reshape(n, kt * 128)
     if qt.qtype == GGMLType.Q4_0:
-        qs, d = f["qs"], f["d"]
-        n, kt, _ = qs.shape
-        qr = qs.reshape(n, kt, 16, 8)
+        kt = f["qs"].shape[1] // 128
+        qr = f["qs"].reshape(n, kt, 16, 8)
+        d = f["d"].reshape(n, kt, 8)
         lo = ((qr & 0xF).astype(jnp.int32) - 8).astype(jnp.float32)
         hi = ((qr >> 4).astype(jnp.int32) - 8).astype(jnp.float32)
         lo = lo * d[:, :, None, :]

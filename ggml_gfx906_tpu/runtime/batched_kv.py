@@ -2,10 +2,11 @@
 
 ref: the reference manages KV cells per sequence id in host code
 (gpt2_kv_cache/gpt2_batch, examples/gpt-2/main-batched.cpp:88-139,407-430).
-Here each request owns a slot b of a preallocated
-(n_layer, B, max_seq, n_kv_head, head_dim) region; per-slot lengths drive
-the attention masks, and slot recycling is the continuous-batching part
-(runtime/engine.py).
+Here each request owns a slot b of preallocated per-layer
+(B, n_kv_head, max_seq, head_dim) buffers; per-slot lengths drive the
+attention masks, and slot recycling is the continuous-batching part
+(runtime/engine.py). Per-layer arrays for the same in-place-update reason
+as KVCache.
 """
 from __future__ import annotations
 
@@ -18,8 +19,8 @@ import jax.numpy as jnp
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class BatchedKVCache:
-    k: jax.Array  # (n_layer, B, max_seq, n_kv_head, head_dim)
-    v: jax.Array
+    k: tuple  # per layer: (B, n_kv_head, max_seq, head_dim)
+    v: tuple
     lengths: jax.Array  # (B,) int32 valid positions per slot
 
     def tree_flatten(self):
@@ -32,41 +33,44 @@ class BatchedKVCache:
     @classmethod
     def create(cls, n_layer: int, max_batch: int, max_seq: int,
                n_kv_head: int, head_dim: int, dtype=jnp.float32):
-        shape = (n_layer, max_batch, max_seq, n_kv_head, head_dim)
-        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+        shape = (max_batch, n_kv_head, max_seq, head_dim)
+        return cls(tuple(jnp.zeros(shape, dtype) for _ in range(n_layer)),
+                   tuple(jnp.zeros(shape, dtype) for _ in range(n_layer)),
                    jnp.zeros((max_batch,), jnp.int32))
 
     @property
     def max_batch(self) -> int:
-        return self.k.shape[1]
+        return self.k[0].shape[0]
 
     @property
     def max_seq(self) -> int:
-        return self.k.shape[2]
+        return self.k[0].shape[2]
 
     def update_layer(self, layer: int, k_new: jax.Array, v_new: jax.Array,
                      start: jax.Array) -> "BatchedKVCache":
         """Write (B, S, n_kv_head, hd) at per-slot positions start (B,)."""
 
         def write(buf, new):
-            # vmap over slots: each writes its S rows at its own offset
             def one(slot_buf, slot_new, s0):
-                return jax.lax.dynamic_update_slice(
-                    slot_buf, slot_new.astype(slot_buf.dtype), (s0, 0, 0))
+                # slot_new (S, H, D) → (H, S, D) at column s0
+                t = jnp.transpose(slot_new, (1, 0, 2)).astype(slot_buf.dtype)
+                return jax.lax.dynamic_update_slice(slot_buf, t, (0, s0, 0))
 
-            return buf.at[layer].set(
-                jax.vmap(one)(buf[layer], new, start))
+            return jax.vmap(one)(buf, new, start)
 
-        return BatchedKVCache(write(self.k, k_new), write(self.v, v_new),
-                              self.lengths)
+        k = self.k[:layer] + (write(self.k[layer], k_new),) + self.k[layer + 1:]
+        v = self.v[:layer] + (write(self.v[layer], v_new),) + self.v[layer + 1:]
+        return BatchedKVCache(k, v, self.lengths)
 
-    def set_slot(self, b: int, k_slot: jax.Array, v_slot: jax.Array,
+    def set_slot(self, b, k_slot: tuple, v_slot: tuple,
                  length) -> "BatchedKVCache":
-        """Install a prefilled single-sequence cache (n_layer, S, H, D) into
-        slot b (used when admitting a new request)."""
-        s = k_slot.shape[1]
-        k = jax.lax.dynamic_update_slice(
-            self.k, k_slot[:, None].astype(self.k.dtype), (0, b, 0, 0, 0))
-        v = jax.lax.dynamic_update_slice(
-            self.v, v_slot[:, None].astype(self.v.dtype), (0, b, 0, 0, 0))
+        """Install a prefilled single-sequence cache (per-layer (H, S, D)
+        tuples) into slot b (used when admitting a new request)."""
+
+        def ins(buf, new):
+            return jax.lax.dynamic_update_slice(
+                buf, new[None].astype(buf.dtype), (b, 0, 0, 0))
+
+        k = tuple(ins(kb, kn) for kb, kn in zip(self.k, k_slot))
+        v = tuple(ins(vb, vn) for vb, vn in zip(self.v, v_slot))
         return BatchedKVCache(k, v, self.lengths.at[b].set(length))

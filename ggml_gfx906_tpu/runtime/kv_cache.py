@@ -2,10 +2,19 @@
 
 Replaces the reference's KV-cache-as-graph-views pattern (ggml_cpy into
 view_1d/view_3d windows, examples/gpt-2/main-backend.cpp:446 gpt2_graph and
-the cell-managed variant main-batched.cpp:88 gpt2_kv_cache). On TPU the
-cache is a preallocated (n_layer, 2, max_seq, n_kv_head, head_dim) array
-carried through jit with buffer donation, updated in place via
-dynamic_update_slice — XLA reuses the buffer, no copies.
+the cell-managed variant main-batched.cpp:88 gpt2_kv_cache). The cache is a
+tuple of per-layer (max_seq, n_kv_head, head_dim) arrays carried through jit
+with buffer donation and updated in place via dynamic_update_slice.
+Layout is (n_kv_head, max_seq, head_dim) — attention-consumption order, so
+the decode loop does no transposes (a per-step transpose makes XLA
+materialize padded transposed copies of the whole cache inside lax.scan;
+observed 32x padding expansion / 51 GB on the 7B decode loop).
+
+Per-layer arrays (not one stacked (L, ...) array) matter: a layer update
+then touches only that layer's buffer. With a stacked array each of the L
+updates inside one step produces a full-cache temporary, which blows HBM
+under lax.scan (observed: 51 GB requested for a 0.5 GB cache on the 7B
+decode loop).
 """
 from __future__ import annotations
 
@@ -18,8 +27,8 @@ import jax.numpy as jnp
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class KVCache:
-    k: jax.Array  # (n_layer, max_seq, n_kv_head, head_dim)
-    v: jax.Array
+    k: tuple  # per layer: (n_kv_head, max_seq, head_dim)
+    v: tuple
     length: jax.Array  # scalar int32: number of valid positions
 
     def tree_flatten(self):
@@ -32,24 +41,30 @@ class KVCache:
     @classmethod
     def create(cls, n_layer: int, max_seq: int, n_kv_head: int, head_dim: int,
                dtype=jnp.float32) -> "KVCache":
-        shape = (n_layer, max_seq, n_kv_head, head_dim)
+        shape = (n_kv_head, max_seq, head_dim)
         return cls(
-            k=jnp.zeros(shape, dtype),
-            v=jnp.zeros(shape, dtype),
+            k=tuple(jnp.zeros(shape, dtype) for _ in range(n_layer)),
+            v=tuple(jnp.zeros(shape, dtype) for _ in range(n_layer)),
             length=jnp.zeros((), jnp.int32),
         )
 
     @property
+    def n_layer(self) -> int:
+        return len(self.k)
+
+    @property
     def max_seq(self) -> int:
-        return self.k.shape[1]
+        return self.k[0].shape[1]
 
     def update_layer(self, layer: int, k_new: jax.Array, v_new: jax.Array,
                      start: jax.Array) -> "KVCache":
         """Write (S, n_kv_head, hd) at positions [start, start+S) of layer."""
-        k = jax.lax.dynamic_update_slice(
-            self.k, k_new[None].astype(self.k.dtype), (layer, start, 0, 0))
-        v = jax.lax.dynamic_update_slice(
-            self.v, v_new[None].astype(self.v.dtype), (layer, start, 0, 0))
+        k_t = jnp.transpose(k_new, (1, 0, 2)).astype(self.k[layer].dtype)
+        v_t = jnp.transpose(v_new, (1, 0, 2)).astype(self.v[layer].dtype)
+        k_l = jax.lax.dynamic_update_slice(self.k[layer], k_t, (0, start, 0))
+        v_l = jax.lax.dynamic_update_slice(self.v[layer], v_t, (0, start, 0))
+        k = self.k[:layer] + (k_l,) + self.k[layer + 1:]
+        v = self.v[:layer] + (v_l,) + self.v[layer + 1:]
         return KVCache(k, v, self.length)
 
     def advance(self, n) -> "KVCache":
