@@ -58,27 +58,35 @@ def conv_2d_dw(x, w, stride=(1, 1), padding=(0, 0), dilation=(1, 1)):
 
 
 def conv_transpose_1d(x, w, stride: int = 1, padding: int = 0, dilation: int = 1):
-    """ggml_conv_transpose_1d: x (N, C, L), w (IC, OC, K) in ggml convention
-    (kernel indexed [c_in][c_out]); output length (L-1)*s + (K-1)*d + 1 - 2p."""
-    return jax.lax.conv_transpose(
+    """ggml_conv_transpose_1d: x (N, C, L), w (IC, OC, K) (torch ConvT
+    convention); output length (L-1)*s + (K-1)*d + 1 - 2p.
+
+    jax quirk (verified vs torch): torch ConvTranspose parity needs the
+    kernel declared "OIHW"-style with transpose_kernel=True and VALID
+    padding; the ggml/torch `padding` crops the full output."""
+    out = jax.lax.conv_transpose(
         x.astype(jnp.float32),
         w.astype(jnp.float32),
         strides=(stride,),
-        padding=[(padding, padding)],
+        padding="VALID",
         rhs_dilation=(dilation,),
-        dimension_numbers=("NCH", "IOH", "NCH"),
+        dimension_numbers=("NCH", "OIH", "NCH"),
         transpose_kernel=True,
     )
+    if padding:
+        out = out[..., padding:-padding]
+    return out
 
 
 def conv_transpose_2d(x, w, stride: int = 1):
-    """ggml_conv_transpose_2d_p0: w (IC, OC, KH, KW)."""
+    """ggml_conv_transpose_2d_p0: w (IC, OC, KH, KW) (torch ConvT layout).
+    See conv_transpose_1d for the jax dimension-number quirk."""
     return jax.lax.conv_transpose(
         x.astype(jnp.float32),
         w.astype(jnp.float32),
         strides=(stride, stride),
-        padding=[(0, 0), (0, 0)],
-        dimension_numbers=("NCHW", "IOHW", "NCHW"),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
         transpose_kernel=True,
     )
 

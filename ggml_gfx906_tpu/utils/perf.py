@@ -33,6 +33,36 @@ def _time_fn(fn, *args, iters=20, warmup=3):
     return (time.time() - t0) / iters
 
 
+def _random_qt(rng, qtype, n, k):
+    """Random packed weights (timing is data-independent; the reference
+    quantizer's scale search is far too slow for perf sweeps)."""
+    import jax
+    from ..ops.quantized import QuantTensor
+    from ..quant.types import GGMLType
+
+    if qtype == GGMLType.Q4_K:
+        sb = k // 256
+        fields = {
+            "qs": rng.integers(0, 256, (n, sb * 128), dtype=np.uint8),
+            "dsclo": rng.random((n, sb * 4), dtype=np.float32) * 0.01,
+            "dschi": rng.random((n, sb * 4), dtype=np.float32) * 0.01,
+            "dmlo": rng.random((n, sb * 4), dtype=np.float32) * 0.01,
+            "dmhi": rng.random((n, sb * 4), dtype=np.float32) * 0.01,
+        }
+    elif qtype == GGMLType.Q8_0:
+        fields = {"qs": rng.integers(-127, 128, (n, k)).astype(np.int8),
+                  "d": rng.random((n, k // 32), dtype=np.float32) * 0.01}
+    elif qtype == GGMLType.Q4_0:
+        fields = {"qs": rng.integers(0, 256, (n, k // 2), dtype=np.uint8),
+                  "d": rng.random((n, k // 32), dtype=np.float32) * 0.01}
+    else:
+        from ..ops.quantized import QuantTensor as QT
+        w = rng.standard_normal((n, k)).astype(np.float32)
+        return QT.quantize(qtype, w)
+    fields = {kk: jax.device_put(v) for kk, v in fields.items()}
+    return QuantTensor(qtype, (n, k), fields, "kernel")
+
+
 def bench_qmm(qtype_name: str, m: int, n: int, k: int):
     import jax.numpy as jnp
     from ..ops.quantized import QuantTensor, qmatmul
@@ -40,9 +70,8 @@ def bench_qmm(qtype_name: str, m: int, n: int, k: int):
 
     qtype = GGMLType[qtype_name]
     rng = np.random.default_rng(0)
-    w = rng.standard_normal((n, k)).astype(np.float32)
     x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
-    qt = QuantTensor.quantize(qtype, w)
+    qt = _random_qt(rng, qtype, n, k)
     dt = _time_fn(lambda a: qmatmul(a, qt), x)
     flops = 2 * m * n * k
     bytes_ = qt.nbytes + 4 * (m * k + m * n)
@@ -61,7 +90,7 @@ def bench_dequant(qtype_name: str, n: int, k: int):
 
     qtype = GGMLType[qtype_name]
     rng = np.random.default_rng(0)
-    qt = QuantTensor.quantize(qtype, rng.standard_normal((n, k)).astype(np.float32))
+    qt = _random_qt(rng, qtype, n, k)
     dt = _time_fn(lambda q: dequant(q), qt)
     bytes_ = qt.nbytes + 4 * n * k
     return {"op": f"dequant_{qtype_name}", "shape": f"{n}x{k}",
@@ -104,7 +133,7 @@ ALL = {
     "qmm_q8_0": lambda: bench_qmm("Q8_0", 1, 4096, 4096),
     "qmm_q4_0": lambda: bench_qmm("Q4_0", 1, 4096, 4096),
     "dequant_q4_K": lambda: bench_dequant("Q4_K", 4096, 4096),
-    "dequant_q6_K": lambda: bench_dequant("Q6_K", 4096, 4096),
+    "dequant_q8_0": lambda: bench_dequant("Q8_0", 4096, 4096),
     "flash_attn": lambda: bench_attention(1, 32, 1024, 1024, 128),
     "softmax": lambda: bench_softmax(4096, 4096),
 }
