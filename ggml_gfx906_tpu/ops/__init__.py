@@ -16,3 +16,6 @@ from .conv import (  # noqa: F401
     conv_transpose_2d, get_rel_pos, im2col, interpolate_bilinear, pool_1d,
     pool_2d, ssm_conv, ssm_scan, upscale_nearest, win_part, win_unpart,
 )
+from .recurrent import (  # noqa: F401
+    gated_linear_attn, mul_mat_id, rwkv_wkv6, rwkv_wkv7,
+)

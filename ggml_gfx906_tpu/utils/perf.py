@@ -20,17 +20,28 @@ HBM_GBS = 819.0
 BF16_TFLOPS = 197.0
 
 
-def _time_fn(fn, *args, iters=20, warmup=3):
+def _time_fn(fn, x_batch, *extra, iters=20):
+    """Time `fn(x, *extra)` per iteration: iterations unrolled inside ONE
+    compiled program over distinct inputs. Hard-won measurement rules:
+    - per-dispatch host timing measures the axon tunnel (~2-4 ms), not the op
+    - weights must be ARGUMENTS: closure-captured device arrays become jit
+      constants which this runtime re-uploads per execution
+    - distinct inputs per iteration prevent CSE"""
     import jax
 
-    for _ in range(warmup):
-        out = fn(*args)
+    n = x_batch.shape[0]
+
+    def many(xs, *ex):
+        return [fn(xs[i], *ex) for i in range(n)]
+
+    f = jax.jit(many)
+    out = f(x_batch, *extra)
     jax.block_until_ready(out)
     t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
+    for _ in range(3):
+        out = f(x_batch, *extra)
     jax.block_until_ready(out)
-    return (time.time() - t0) / iters
+    return (time.time() - t0) / (3 * iters)
 
 
 def _random_qt(rng, qtype, n, k):
@@ -70,9 +81,10 @@ def bench_qmm(qtype_name: str, m: int, n: int, k: int):
 
     qtype = GGMLType[qtype_name]
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+    iters = 20
+    xs = jnp.asarray(rng.standard_normal((iters, m, k)).astype(np.float32))
     qt = _random_qt(rng, qtype, n, k)
-    dt = _time_fn(lambda a: qmatmul(a, qt), x)
+    dt = _time_fn(lambda a, q: qmatmul(a, q), xs, qt, iters=iters)
     flops = 2 * m * n * k
     bytes_ = qt.nbytes + 4 * (m * k + m * n)
     return {
@@ -88,10 +100,22 @@ def bench_dequant(qtype_name: str, n: int, k: int):
     from ..ops.quantized import QuantTensor, dequant
     from ..quant.types import GGMLType
 
+    import jax.numpy as jnp
+
     qtype = GGMLType[qtype_name]
     rng = np.random.default_rng(0)
     qt = _random_qt(rng, qtype, n, k)
-    dt = _time_fn(lambda q: dequant(q), qt)
+    iters = 20
+    eps = jnp.asarray(np.arange(iters, dtype=np.float32) * 1e-12)
+    dname = "d" if "d" in qt.fields else "dsclo"
+
+    def run(e, q):
+        from ..ops.quantized import QuantTensor
+        f2 = dict(q.fields)
+        f2[dname] = f2[dname] + e  # per-step perturbation prevents hoisting
+        return dequant(QuantTensor(q.qtype, q.shape, f2, q.layout))
+
+    dt = _time_fn(run, eps, qt, iters=iters)
     bytes_ = qt.nbytes + 4 * n * k
     return {"op": f"dequant_{qtype_name}", "shape": f"{n}x{k}",
             "ms": dt * 1e3, "gbs": bytes_ / dt / 1e9,
@@ -103,10 +127,12 @@ def bench_attention(b: int, h: int, n: int, m: int, d: int):
     from .. import ops
 
     rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32))
+    iters = 10
+    qs = jnp.asarray(rng.standard_normal((iters, b, h, n, d)).astype(np.float32))
     k = jnp.asarray(rng.standard_normal((b, h, m, d)).astype(np.float32))
     v = jnp.asarray(rng.standard_normal((b, h, m, d)).astype(np.float32))
-    dt = _time_fn(lambda a, bb, c: ops.flash_attn_ext(a, bb, c), q, k, v)
+    dt = _time_fn(lambda a, kk, vv: ops.flash_attn_ext(a, kk, vv), qs, k, v,
+                  iters=iters)
     flops = 4 * b * h * n * m * d
     return {"op": "flash_attn", "shape": f"b{b}h{h} {n}x{m}x{d}",
             "ms": dt * 1e3, "gflops": flops / dt / 1e9,
@@ -119,9 +145,9 @@ def bench_softmax(rows: int, cols: int):
     from .. import ops
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((rows, cols)).astype(np.float32))
-    f = jax.jit(lambda a: ops.soft_max_ext(a[None]))
-    dt = _time_fn(f, x)
+    iters = 20
+    xs = jnp.asarray(rng.standard_normal((iters, rows, cols)).astype(np.float32))
+    dt = _time_fn(lambda a: ops.soft_max_ext(a[None]), xs, iters=iters)
     bytes_ = 2 * 4 * rows * cols
     return {"op": "softmax", "shape": f"{rows}x{cols}", "ms": dt * 1e3,
             "gbs": bytes_ / dt / 1e9, "pct_hbm": 100 * bytes_ / dt / 1e9 / HBM_GBS}
