@@ -19,3 +19,4 @@ from .conv import (  # noqa: F401
 from .recurrent import (  # noqa: F401
     gated_linear_attn, mul_mat_id, rwkv_wkv6, rwkv_wkv7,
 )
+from .act_quant import dequantize_q8, quantize_q8, quantize_q8_with_sums  # noqa: F401

@@ -4,11 +4,8 @@ from __future__ import annotations
 from ...quant.types import GGMLType
 from . import qmm
 
-KERNEL_TYPES = set(qmm_fn := {
-    GGMLType.Q4_K: qmm.qmm_q4_K,
-    GGMLType.Q8_0: qmm.qmm_q8_0,
-    GGMLType.Q4_0: qmm.qmm_q4_0,
-})
+KERNEL_TYPES = {GGMLType.Q4_K, GGMLType.Q8_0, GGMLType.Q4_0,
+                GGMLType.Q6_K, GGMLType.Q5_K}
 
 
 def matmul(x, qt):
@@ -25,6 +22,10 @@ def matmul(x, qt):
         out = qmm.qmm_q8_0(x2, f["qs"], f["d"])
     elif qt.qtype == GGMLType.Q4_0:
         out = qmm.qmm_q4_0(x2, f["qs"], f["d"])
+    elif qt.qtype == GGMLType.Q6_K:
+        out = qmm.qmm_q6_K(x2, f["qs"], f["dsc"])
+    elif qt.qtype == GGMLType.Q5_K:
+        out = qmm.qmm_q5_K(x2, f["qs"], f["dsc"], f["dm"])
     else:
         raise KeyError(qt.qtype)
     return out.reshape(*lead, qt.shape[0])

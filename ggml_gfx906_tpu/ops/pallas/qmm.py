@@ -226,3 +226,79 @@ def qmm_q4_0(x, qs_k, d_k):
     tm, tn = _pick_mn(m, n)
     return _common_call(_q40_kernel, m, n, kt, tm, tn,
                         [xlo, xhi], [128, 128], [qs_k, d_k], [128, 8])
+
+# ------------------------------------------------- Q6_K / Q5_K (expanded)
+# These superblock formats carry 6/5-bit values with per-16/per-32 scales;
+# round 1 expands them to int8 at load with premultiplied f32 scales
+# (10 effective bpw vs 6.56/5.5 wire — they typically cover only one or two
+# tensors per model, e.g. output.weight in Q4_K_M files; fully packed
+# kernels are a planned optimization). Lane order: element lane
+# l = G*j + b (b = block 0..G-1, j = element within block), so scales
+# expand with one pltpu.repeat.
+
+def _q8s_kernel(x_ref, qs_ref, dsc_ref, dm_ref, out_ref, *, kt: int,
+                nblk: int, blk: int, affine: bool):
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for i in range(kt):
+        q = qs_ref[:, i * 128:(i + 1) * 128].astype(jnp.float32)
+        dsc = pltpu.repeat(dsc_ref[:, i * nblk:(i + 1) * nblk], blk, axis=1)
+        w = q * dsc
+        if affine:
+            w = w - pltpu.repeat(dm_ref[:, i * nblk:(i + 1) * nblk], blk, axis=1)
+        acc += _dot_nt(x_ref[:, i * 128:(i + 1) * 128], w)
+    out_ref[...] = acc
+
+
+def _interleave(a, g, b):
+    """(M, K) → (M, K) with per-128 lane order l = g*j + blockidx."""
+    m, kdim = a.shape
+    return a.reshape(m, kdim // 128, g, b).transpose(0, 1, 3, 2).reshape(m, kdim)
+
+
+def q6k_weight_layout(q_i8, dsc):
+    """q_i8 (N, K) int8 signed values (already -32 shifted), dsc (N, K/16)
+    f32 premultiplied d*scale per 16 elements."""
+    n, kdim = q_i8.shape
+    qs_k = _interleave(q_i8, 8, 16)
+    return qs_k, dsc.reshape(n, kdim // 16)
+
+
+def q5k_weight_layout(q_u8, dsc, dm):
+    """q_u8 (N, K) unsigned 5-bit values, per-32 affine scales (N, K/32)."""
+    n, kdim = q_u8.shape
+    qs_k = _interleave(q_u8.astype(jnp.int8) if hasattr(q_u8, "astype") else q_u8, 4, 32)
+    return qs_k, dsc.reshape(n, kdim // 32), dm.reshape(n, kdim // 32)
+
+
+def _qmm_expanded(x, qs_k, dsc, dm, nblk, blk, affine):
+    m, kdim = x.shape
+    n = qs_k.shape[0]
+    kt = kdim // 128
+    xk = _interleave(x.astype(jnp.float32), 128 // blk, blk)
+    tm, tn = _pick_mn(m, n)
+    grid = (_cdiv(m, tm), _cdiv(n, tn))
+    in_specs = [
+        pl.BlockSpec((tm, kdim), lambda i, j: (i, 0)),
+        pl.BlockSpec((tn, kdim), lambda i, j: (j, 0)),
+        pl.BlockSpec((tn, kt * nblk), lambda i, j: (j, 0)),
+        pl.BlockSpec((tn, kt * nblk), lambda i, j: (j, 0)),
+    ]
+    return pl.pallas_call(
+        functools.partial(_q8s_kernel, kt=kt, nblk=nblk, blk=blk,
+                          affine=affine),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=_interpret(),
+    )(xk, qs_k, dsc, dm)
+
+
+def qmm_q6_K(x, qs_k, dsc):
+    return _qmm_expanded(x, qs_k, dsc, dsc, nblk=8, blk=16, affine=False)
+
+
+def qmm_q5_K(x, qs_k, dsc, dm):
+    return _qmm_expanded(x, qs_k, dsc, dm, nblk=4, blk=32, affine=True)

@@ -45,6 +45,8 @@ _KFIELDS = {
     GGMLType.Q4_K: ("qs", "dsclo", "dschi", "dmlo", "dmhi"),
     GGMLType.Q8_0: ("qs", "d"),
     GGMLType.Q4_0: ("qs", "d"),
+    GGMLType.Q6_K: ("qs", "dsc"),
+    GGMLType.Q5_K: ("qs", "dsc", "dm"),
 }
 
 _DEQUANT_WIRE = {
@@ -85,6 +87,38 @@ def _to_kernel_layout(qtype: GGMLType, blocks: np.ndarray) -> dict:
         qs_k, d_k = qmm.q40_weight_layout(
             np.ascontiguousarray(blocks["qs"]), np.ascontiguousarray(blocks["d"]))
         return {"qs": qs_k, "d": d_k}
+    if qtype == GGMLType.Q6_K:
+        # expanded-int8 layout (see qmm.py): values widened at load,
+        # per-16 scales premultiplied (bit-exact product order: d_f32 * sc)
+        ql = np.ascontiguousarray(blocks["ql"]).reshape(n, -1, 2, 2, 32)
+        qh = np.ascontiguousarray(blocks["qh"]).reshape(n, -1, 2, 32)
+        sc = np.ascontiguousarray(blocks["scales"])
+        d = np.ascontiguousarray(blocks["d"]).astype(np.float32)
+        q1 = (ql[:, :, :, 0, :] & 0xF) | (((qh >> 0) & 3) << 4)
+        q2 = (ql[:, :, :, 1, :] & 0xF) | (((qh >> 2) & 3) << 4)
+        q3 = (ql[:, :, :, 0, :] >> 4) | (((qh >> 4) & 3) << 4)
+        q4 = (ql[:, :, :, 1, :] >> 4) | (((qh >> 6) & 3) << 4)
+        q = np.stack([q1, q2, q3, q4], axis=3)          # (n, nb, h, k, 32)
+        q_i8 = (q.astype(np.int16) - 32).astype(np.int8).reshape(n, -1)
+        dsc = (d[:, :, None] * sc.astype(np.float32)).reshape(n, -1)
+        qs_k, dsc_k = qmm.q6k_weight_layout(q_i8, dsc)
+        return {"qs": qs_k, "dsc": dsc_k}
+    if qtype == GGMLType.Q5_K:
+        sc, mm = dqm.unpack_scale_min_k4(np, np.ascontiguousarray(blocks["scales"]))
+        d = np.ascontiguousarray(blocks["d"]).astype(np.float32)
+        dmin = np.ascontiguousarray(blocks["dmin"]).astype(np.float32)
+        d_j = d[:, :, None] * sc.astype(np.float32)     # (n, nb, 8)
+        m_j = dmin[:, :, None] * mm.astype(np.float32)
+        ql = np.ascontiguousarray(blocks["qs"]).reshape(n, -1, 4, 32)
+        qh = np.ascontiguousarray(blocks["qh"]).reshape(n, -1, 1, 32)
+        g = np.arange(4)[None, None, :, None].astype(np.uint8)
+        q0 = (ql & 0xF) + 16 * ((qh >> (2 * g)) & 1)
+        q1 = (ql >> 4) + 16 * ((qh >> (2 * g + 1)) & 1)
+        q = np.stack([q0, q1], axis=3)                  # (n, nb, g, half, 32)
+        q_i8 = q.astype(np.int8).reshape(n, -1)
+        qs_k, dsc_k, dm_k = qmm.q5k_weight_layout(
+            q_i8, d_j.reshape(n, -1), m_j.reshape(n, -1))
+        return {"qs": qs_k, "dsc": dsc_k, "dm": dm_k}
     raise KeyError(qtype)
 
 
@@ -125,6 +159,20 @@ def _dequant_kernel_layout(qt: "QuantTensor") -> jax.Array:
         out = jnp.stack([lo, hi], axis=3)          # (n, kt, 16, 2, 8) [j,half,b]
         out = jnp.transpose(out, (0, 1, 4, 3, 2))  # (n, kt, b, half, j)
         return out.reshape(n, kt * 256)
+    if qt.qtype == GGMLType.Q6_K:
+        kdim = qt.shape[-1]
+        qn = f["qs"].reshape(n, kdim // 128, 16, 8)
+        qn = jnp.transpose(qn, (0, 1, 3, 2)).reshape(n, kdim)  # de-interleave
+        w = qn.astype(jnp.float32).reshape(n, kdim // 16, 16) \
+            * f["dsc"][:, :, None]
+        return w.reshape(n, kdim)
+    if qt.qtype == GGMLType.Q5_K:
+        kdim = qt.shape[-1]
+        qn = f["qs"].reshape(n, kdim // 128, 32, 4)
+        qn = jnp.transpose(qn, (0, 1, 3, 2)).reshape(n, kdim)
+        w = qn.astype(jnp.float32).reshape(n, kdim // 32, 32) \
+            * f["dsc"][:, :, None] - f["dm"][:, :, None]
+        return w.reshape(n, kdim)
     raise KeyError(qt.qtype)
 
 

@@ -94,3 +94,23 @@ def test_mul_mat_id():
         for e in range(U):
             np.testing.assert_allclose(out[t, e], x[t, e] @ experts[ids[t, e]].T,
                                        rtol=1e-5, atol=1e-5)
+
+
+def test_activation_quantize_matches_codec():
+    """On-device q8 activation quant must produce the same int values as
+    the reference codec (scale rule + roundf semantics)."""
+    from ggml_gfx906_tpu import ops as O
+    from ggml_gfx906_tpu.quant import GGMLType, quantize
+
+    x = RNG.standard_normal((4, 256)).astype(np.float32) * 3
+    qs, d = O.quantize_q8(jnp.asarray(x))
+    ref = quantize(GGMLType.Q8_0, x)
+    np.testing.assert_array_equal(np.asarray(qs).reshape(4, 8, 32), ref["qs"])
+    # d matches before f16 rounding
+    np.testing.assert_allclose(np.asarray(d), np.abs(x.reshape(4, 8, 32)).max(-1) / 127,
+                               rtol=1e-6)
+    qs2, d2, s2 = O.quantize_q8_with_sums(jnp.asarray(x))
+    expect_s = np.asarray(d2) * np.asarray(qs2).reshape(4, 8, 32).astype(np.int32).sum(-1)
+    np.testing.assert_allclose(np.asarray(s2), expect_s, rtol=1e-6)
+    rt = O.dequantize_q8(qs, d)
+    assert np.abs(np.asarray(rt) - x).max() < np.abs(x).max() / 100
