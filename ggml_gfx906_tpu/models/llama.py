@@ -245,12 +245,37 @@ def prefill_kv(cfg: LlamaConfig, params: dict, tokens: jax.Array,
     return logits, kv.k, kv.v
 
 
+@functools.partial(jax.jit, static_argnums=(0, 4), donate_argnums=2)
+def decode_chunk(cfg: LlamaConfig, params: dict, kv: KVCache,
+                 carry: jax.Array, n_steps: int):
+    """Greedy-decode n_steps tokens in ONE dispatch via a statically
+    unrolled chain (not lax.scan — scan copies the carried caches and
+    degrades Pallas grids on this platform; unrolling keeps in-place cache
+    updates and amortizes the per-dispatch host cost of flattening the
+    ~1000-leaf param pytree).
+
+    carry: [token, position] int32 (2,). Returns (tokens (n_steps,), kv,
+    new carry)."""
+    tok = carry[0]
+    pos = carry[1]
+    toks = []
+    for _ in range(n_steps):
+        logits, kv = forward(cfg, params, tok[None], kv, pos)
+        tok = jnp.argmax(logits[-1]).astype(jnp.int32)
+        pos = pos + 1
+        toks.append(tok)
+    return jnp.stack(toks), kv, jnp.stack([tok, pos])
+
+
 @functools.partial(jax.jit, static_argnums=(0, 5), donate_argnums=2)
 def decode_scan(cfg: LlamaConfig, params: dict, kv: KVCache,
                 first_token: jax.Array, start, n_steps: int):
-    """Greedy-decode n_steps tokens entirely on device (lax.scan) — one
-    compiled program instead of one host round-trip per token (the analogue
-    of ggml's cheap per-token graph re-plan, minus the dispatch latency).
+    """Greedy-decode n_steps tokens entirely on device via lax.scan.
+
+    NOTE: measured ~12 ms/step SLOWER than re-dispatching forward_jit with a
+    donated cache (XLA copies large scan carries; Pallas grids also degrade
+    inside scan on this platform) — kept for single-dispatch use cases;
+    generate()/bench/engine use the donated-loop path.
 
     Returns (tokens (n_steps,) int32, kv)."""
 

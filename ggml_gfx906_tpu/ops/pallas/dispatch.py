@@ -11,7 +11,8 @@ KERNEL_TYPES = {GGMLType.Q4_K, GGMLType.Q8_0, GGMLType.Q4_0,
 def matmul(x, qt):
     """x (..., K) @ qt(N, K).T → (..., N) f32 via the fused kernel.
     qt must be in kernel layout."""
-    assert qt.layout == "kernel", qt.layout
+    if qt.layout != "kernel":
+        raise ValueError(f"expected kernel-layout QuantTensor, got {qt.layout}")
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     f = qt.fields

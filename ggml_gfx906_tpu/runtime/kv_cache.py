@@ -5,16 +5,12 @@ view_1d/view_3d windows, examples/gpt-2/main-backend.cpp:446 gpt2_graph and
 the cell-managed variant main-batched.cpp:88 gpt2_kv_cache). The cache is a
 tuple of per-layer (max_seq, n_kv_head, head_dim) arrays carried through jit
 with buffer donation and updated in place via dynamic_update_slice.
-Layout is (n_kv_head, max_seq, head_dim) — attention-consumption order, so
-the decode loop does no transposes (a per-step transpose makes XLA
-materialize padded transposed copies of the whole cache inside lax.scan;
-observed 32x padding expansion / 51 GB on the 7B decode loop).
-
-Per-layer arrays (not one stacked (L, ...) array) matter: a layer update
-then touches only that layer's buffer. With a stacked array each of the L
-updates inside one step produces a full-cache temporary, which blows HBM
-under lax.scan (observed: 51 GB requested for a 0.5 GB cache on the 7B
-decode loop).
+Two layout rules, both learned from a 51 GB compile-time OOM on the 7B
+decode loop: (1) per-layer arrays, not one stacked (L, ...) array — a layer
+update must touch only that layer's buffer, or every update materializes a
+full-cache temporary; (2) attention-consumption order (n_kv_head, max_seq,
+head_dim) — per-step transposes make XLA materialize padded transposed
+copies of the whole cache.
 """
 from __future__ import annotations
 
