@@ -120,25 +120,18 @@ def forward(cfg: GPT2Config, params: dict, tokens: jax.Array,
     pos = start + jnp.arange(S, dtype=jnp.int32)
     x = (_embed(params["wte"], tokens) + _embed(params["wpe"], pos)).astype(dt)
 
-    max_seq = kv.max_seq
-    # causal mask over the cache buffer: key position j visible to query row i
-    # iff j <= start + i
-    jpos = jnp.arange(max_seq, dtype=jnp.int32)[None, :]
-    ipos = (start + jnp.arange(S, dtype=jnp.int32))[:, None]
-    mask = jnp.where(jpos <= ipos, 0.0, -jnp.inf).astype(jnp.float32)
-
     for li, blk in enumerate(params["blocks"]):
         h = _ln(x, blk["ln1_g"], blk["ln1_b"], cfg.ln_eps)
         qkv = _linear(h, blk["qkv_w"], blk["qkv_b"])
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(S, H, HD)
         kv = kv.update_layer(li, k.reshape(S, H, HD), v.reshape(S, H, HD), start)
-        att = ops.flash_attn_ext(
+        kc, vc, kd, vd = kv.layer_kv(li)  # cache already (H, max_seq, HD)
+        att = ops.causal_flash_attn(
             jnp.transpose(q, (1, 0, 2))[None],
-            kv.k[li].astype(dt)[None],  # cache already (H, max_seq, HD)
-            kv.v[li].astype(dt)[None],
-            mask=mask,
-            scale=1.0 / (HD ** 0.5),
+            kc[None], vc[None], start, scale=1.0 / (HD ** 0.5),
+            k_scale=None if kd is None else kd[None],
+            v_scale=None if vd is None else vd[None],
         )  # (1, H, S, HD)
         att = jnp.transpose(att[0], (1, 0, 2)).reshape(S, cfg.n_embd)
         x = x + _linear(att, blk["proj_w"], blk["proj_b"])

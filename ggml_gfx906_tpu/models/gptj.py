@@ -98,10 +98,6 @@ def forward(cfg: GPTJConfig, params: dict, tokens: jax.Array,
     x = ops.get_rows(params["wte"], tokens).astype(dt) \
         if not isinstance(params["wte"], QuantTensor) else _embed_q(params["wte"], tokens).astype(dt)
 
-    max_seq = kv.max_seq
-    jpos = jnp.arange(max_seq, dtype=jnp.int32)[None, :]
-    mask = jnp.where(jpos <= pos[:, None], 0.0, -jnp.inf).astype(jnp.float32)
-
     for li, blk in enumerate(params["blocks"]):
         h = ops.norm(x, cfg.ln_eps) * blk["ln1_g"] + blk["ln1_b"]
         q = qmatmul(h, blk["wq"]).reshape(S, H, HD)
@@ -113,11 +109,12 @@ def forward(cfg: GPTJConfig, params: dict, tokens: jax.Array,
         k = ops.rope_ext(k, pos, cfg.n_rot, mode=ops.ROPE_TYPE_NORMAL,
                          freq_base=cfg.rope_base)
         kv = kv.update_layer(li, k, v, start)
-        att = ops.flash_attn_ext(
+        kc, vc, kd, vd = kv.layer_kv(li)  # cache already (H, max_seq, HD)
+        att = ops.causal_flash_attn(
             jnp.transpose(q, (1, 0, 2))[None],
-            kv.k[li].astype(dt)[None],  # cache already (H, max_seq, HD)
-            kv.v[li].astype(dt)[None],
-            mask=mask, scale=1.0 / (HD ** 0.5))
+            kc[None], vc[None], start, scale=1.0 / (HD ** 0.5),
+            k_scale=None if kd is None else kd[None],
+            v_scale=None if vd is None else vd[None])
         att = jnp.transpose(att[0], (1, 0, 2)).reshape(S, cfg.n_embd)
         att_out = qmatmul(att, blk["wo"])
         ff = qmatmul(ops.gelu(qmatmul(h, blk["fc_in_w"]) + blk["fc_in_b"]),

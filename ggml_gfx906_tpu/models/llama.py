@@ -129,11 +129,6 @@ def forward(cfg: LlamaConfig, params: dict, tokens: jax.Array,
     pos = start + jnp.arange(S, dtype=jnp.int32)
     x = _embed(params["wte"], tokens).astype(dt)
 
-    max_seq = kv.max_seq
-    jpos = jnp.arange(max_seq, dtype=jnp.int32)[None, :]
-    ipos = pos[:, None]
-    mask = jnp.where(jpos <= ipos, 0.0, -jnp.inf).astype(jnp.float32)
-
     for li, blk in enumerate(params["blocks"]):
         h = _rms(x, blk["attn_norm"], cfg.rms_eps)
         q = qmatmul(h, blk["wq"]).reshape(S, H, HD)
@@ -142,11 +137,12 @@ def forward(cfg: LlamaConfig, params: dict, tokens: jax.Array,
         q = _rope(cfg, q, pos)
         k = _rope(cfg, k, pos)
         kv = kv.update_layer(li, k, v, start)
-        att = ops.flash_attn_ext(
+        kc, vc, kd, vd = kv.layer_kv(li)  # cache already (H, max_seq, HD)
+        att = ops.causal_flash_attn(
             jnp.transpose(q, (1, 0, 2))[None],
-            kv.k[li].astype(dt)[None],  # cache already (H, max_seq, HD)
-            kv.v[li].astype(dt)[None],
-            mask=mask, scale=1.0 / (HD ** 0.5))
+            kc[None], vc[None], start, scale=1.0 / (HD ** 0.5),
+            k_scale=None if kd is None else kd[None],
+            v_scale=None if vd is None else vd[None])
         att = jnp.transpose(att[0], (1, 0, 2)).reshape(S, cfg.n_embd)
         x = x + qmatmul(att, blk["wo"])
         h2 = _rms(x, blk["ffn_norm"], cfg.rms_eps)
@@ -165,16 +161,20 @@ def forward_jit(cfg, params, tokens, kv, start):
 
 
 def make_cache(cfg: LlamaConfig, max_seq: int | None = None,
-               dtype=None) -> KVCache:
+               dtype=None, quant: bool = False) -> KVCache:
+    """quant=True stores K/V int8 with per-(head,pos) scales — the
+    quantized-KV-cache analogue (ref fattn.cu:180-270), 4x less HBM/token."""
     return KVCache.create(cfg.n_layer, max_seq or cfg.n_ctx, cfg.n_kv_head,
-                          cfg.head_dim, dtype or cfg.compute_dtype)
+                          cfg.head_dim, dtype or cfg.compute_dtype,
+                          quant=quant)
 
 
 def generate(cfg: LlamaConfig, params: dict, prompt_tokens, n_predict: int,
-             sampler=None, max_seq: int | None = None) -> list[int]:
+             sampler=None, max_seq: int | None = None,
+             kv_quant: bool = False) -> list[int]:
     from ..runtime.sampling import greedy
 
-    kv = make_cache(cfg, max_seq)
+    kv = make_cache(cfg, max_seq, quant=kv_quant)
     toks = jnp.asarray(np.asarray(prompt_tokens, dtype=np.int32))
     logits, kv = forward_jit(cfg, params, toks, kv, jnp.int32(0))
     out = list(map(int, prompt_tokens))
@@ -204,11 +204,6 @@ def forward_batch(cfg: LlamaConfig, params: dict, tokens: jax.Array,
     pos = start[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]  # (B, S)
     x = _embed(params["wte"], tokens).astype(dt)
 
-    max_seq = kv.max_seq
-    jpos = jnp.arange(max_seq, dtype=jnp.int32)[None, None, :]
-    mask = jnp.where(jpos <= pos[:, :, None], 0.0, -jnp.inf)  # (B, S, max_seq)
-    mask = mask[:, None].astype(jnp.float32)                  # (B, 1, S, M)
-
     for li, blk in enumerate(params["blocks"]):
         h = _rms(x, blk["attn_norm"], cfg.rms_eps)
         q = qmatmul(h, blk["wq"]).reshape(B, S, H, HD)
@@ -217,11 +212,11 @@ def forward_batch(cfg: LlamaConfig, params: dict, tokens: jax.Array,
         q = _rope(cfg, q, pos)
         k = _rope(cfg, k, pos)
         kv = kv.update_layer(li, k, v, start)
-        att = ops.flash_attn_ext(
+        att = ops.causal_flash_attn(
             jnp.transpose(q, (0, 2, 1, 3)),
-            kv.k[li].astype(dt),  # cache already (B, H, max_seq, HD)
-            kv.v[li].astype(dt),
-            mask=mask, scale=1.0 / (HD ** 0.5))
+            kv.k[li],  # cache already (B, H, max_seq, HD)
+            kv.v[li],
+            start, scale=1.0 / (HD ** 0.5))
         att = jnp.transpose(att, (0, 2, 1, 3)).reshape(B, S, cfg.n_embd)
         x = x + qmatmul(att, blk["wo"])
         h2 = _rms(x, blk["ffn_norm"], cfg.rms_eps)

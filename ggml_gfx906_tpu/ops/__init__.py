@@ -9,7 +9,7 @@ from .basic import (  # noqa: F401
     sum_rows, swiglu, swiglu_oai, tanh, timestep_embedding, top_k, UNARY,
 )
 from .rope import rope_ext, yarn_corr_dims, ROPE_TYPE_NEOX, ROPE_TYPE_NORMAL  # noqa: F401
-from .attention import attention_ref, flash_attn_ext  # noqa: F401
+from .attention import attention_ref, causal_flash_attn, flash_attn_ext  # noqa: F401
 from .quantized import QuantTensor, dequant, qmatmul  # noqa: F401
 from .conv import (  # noqa: F401
     add_rel_pos, conv_1d, conv_1d_dw, conv_2d, conv_2d_dw, conv_transpose_1d,

@@ -12,6 +12,8 @@ semantics.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -57,10 +59,74 @@ def attention_ref(q, k, v, mask=None, scale: float | None = None,
 def flash_attn_ext(q, k, v, mask=None, scale: float | None = None,
                    max_bias: float = 0.0, logit_softcap: float = 0.0,
                    sinks=None):
-    """Public entry — currently the XLA path; swapped to Pallas when the
-    shapes qualify (see ops/pallas)."""
+    """Public entry with ggml's explicit-mask semantics. Arbitrary masks run
+    the XLA path; the causal hot path is `causal_flash_attn` (the Pallas
+    kernel), which models call directly with positions instead of a mask."""
+    return attention_ref(q, k, v, mask, scale, max_bias, logit_softcap, sinks)
+
+
+def _causal_ref(q, k, v, pos, scale, logit_softcap, k_scale=None,
+                v_scale=None):
+    """Materialized-mask XLA path with pos-based causal semantics."""
+    B, _, N, _ = q.shape
+    M = k.shape[2]
+    pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
+    qpos = pos[:, None, None] + jnp.arange(N, dtype=jnp.int32)[None, :, None]
+    mask = jnp.where(jnp.arange(M, dtype=jnp.int32)[None, None, :] <= qpos,
+                     0.0, -jnp.inf).astype(jnp.float32)[:, None]  # (B,1,N,M)
+    if k_scale is not None:
+        k = k.astype(jnp.float32) * k_scale[..., None]
+        v = v.astype(jnp.float32) * v_scale[..., None]
+    return attention_ref(q, k.astype(q.dtype), v.astype(q.dtype), mask,
+                         scale, 0.0, logit_softcap, None)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _causal_kernel(q, k, v, pos, scale, logit_softcap):
     from .pallas import flash_attn as _fa
 
-    if _fa.supported(q, k, v, mask, max_bias, logit_softcap, sinks):
-        return _fa.flash_attention(q, k, v, mask, scale, logit_softcap)
-    return attention_ref(q, k, v, mask, scale, max_bias, logit_softcap, sinks)
+    return _fa.causal_flash_attention(q, k, v, pos, scale, logit_softcap)
+
+
+def _causal_kernel_fwd(q, k, v, pos, scale, logit_softcap):
+    return _causal_kernel(q, k, v, pos, scale, logit_softcap), (q, k, v, pos)
+
+
+def _causal_kernel_bwd(scale, logit_softcap, res, g):
+    # Recompute through the XLA reference (identical math to the kernel).
+    q, k, v, pos = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _causal_ref(q_, k_, v_, pos, scale, logit_softcap),
+        q, k, v)
+    dq, dk, dv = vjp(g)
+    import numpy as np
+
+    return dq, dk, dv, np.zeros(pos.shape, jax.dtypes.float0)
+
+
+_causal_kernel.defvjp(_causal_kernel_fwd, _causal_kernel_bwd)
+
+
+def causal_flash_attn(q, k, v, pos, scale: float | None = None,
+                      logit_softcap: float = 0.0,
+                      k_scale=None, v_scale=None, force_ref: bool = False):
+    """Causal attention against a (possibly longer) KV cache.
+
+    q (B, H, N, D) at absolute positions pos(B,)+n; k/v (B, KVH, M, D)
+    (int8 with k_scale/v_scale (B, KVH, M) when the cache is quantized).
+    Dispatches to the Pallas flash kernel (ops/pallas/flash_attn.py) and
+    falls back to the materialized-mask XLA path otherwise. Differentiable:
+    the backward pass recomputes through the XLA reference."""
+    from .pallas import flash_attn as _fa
+
+    if scale is None:
+        scale = 1.0 / (q.shape[-1] ** 0.5)
+    if not force_ref and _fa.supported(q, k, v, pos, logit_softcap):
+        pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1),
+                               (q.shape[0],))
+        if k_scale is not None:  # inference-only quantized-KV path
+            return _fa.causal_flash_attention(q, k, v, pos, scale,
+                                              logit_softcap, k_scale, v_scale)
+        return _causal_kernel(q, k, v, pos, float(scale),
+                              float(logit_softcap))
+    return _causal_ref(q, k, v, pos, scale, logit_softcap, k_scale, v_scale)

@@ -76,6 +76,45 @@ def test_greedy_generate_matches_hf(hf_model, gguf_f32):
     assert got == ref, (got, ref)
 
 
+def test_flash_kernel_path_matches_fallback(hf_model, gguf_f32):
+    """max_seq=128 satisfies the Pallas gate (M % 128 == 0) so the whole
+    model runs through the flash kernel; must match the 64-ctx XLA path."""
+    cfg, params = llama.load(gguf_f32)
+    toks = np.array([5, 17, 200, 3, 77, 129], dtype=np.int32)
+    kv64 = llama.make_cache(cfg, 64)
+    ref, _ = llama.forward(cfg, params, jnp.asarray(toks), kv64, jnp.int32(0))
+    kv128 = llama.make_cache(cfg, 128)
+    got, _ = llama.forward(cfg, params, jnp.asarray(toks), kv128, jnp.int32(0))
+    nmse = ((np.asarray(got) - np.asarray(ref)) ** 2).sum() / \
+        (np.asarray(ref) ** 2).sum()
+    assert nmse < 1e-10, nmse
+
+
+def test_quantized_kv_cache_decode(hf_model, gguf_f32):
+    """int8 KV cache: logits stay close to the dense cache and greedy
+    decode still matches (quant noise ≪ logit margins on real steps)."""
+    cfg, params = llama.load(gguf_f32)
+    toks = np.array([9, 8, 7, 30, 12], dtype=np.int32)
+    dense = llama.make_cache(cfg, 128)
+    quant = llama.make_cache(cfg, 128, quant=True)
+    assert quant.quantized and not dense.quantized
+    ld, dense = llama.forward(cfg, params, jnp.asarray(toks), dense,
+                              jnp.int32(0))
+    lq, quant = llama.forward(cfg, params, jnp.asarray(toks), quant,
+                              jnp.int32(0))
+    nmse = ((np.asarray(lq) - np.asarray(ld)) ** 2).sum() / \
+        (np.asarray(ld) ** 2).sum()
+    assert nmse < 1e-3, nmse
+    # a further decode step reads back the quantized rows
+    ld2, _ = llama.forward(cfg, params, jnp.asarray([3], np.int32), dense,
+                           jnp.int32(5))
+    lq2, _ = llama.forward(cfg, params, jnp.asarray([3], np.int32), quant,
+                           jnp.int32(5))
+    nmse2 = ((np.asarray(lq2) - np.asarray(ld2)) ** 2).sum() / \
+        (np.asarray(ld2) ** 2).sum()
+    assert nmse2 < 1e-3, nmse2
+
+
 def test_q4k_forward_close(hf_model, tmp_path):
     model, config = hf_model
     path = tmp_path / "llama-q4k.gguf"
