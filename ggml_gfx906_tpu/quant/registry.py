@@ -7,8 +7,15 @@ from __future__ import annotations
 
 import numpy as np
 
-from . import kquants, legacy
+from . import kquants, legacy, modern
 from .types import GGMLType, TYPE_TRAITS, row_size
+
+# codecs accepting an importance matrix (ggml quantize_* chunk API,
+# include/ggml.h:2406-2416 ggml_quantize_chunk(..., imatrix))
+_QUANTIZE_IMATRIX = {
+    GGMLType.IQ4_NL: modern.quantize_iq4_nl,
+    GGMLType.IQ4_XS: modern.quantize_iq4_xs,
+}
 
 _QUANTIZE = {
     GGMLType.Q4_0: legacy.quantize_q4_0,
@@ -23,6 +30,11 @@ _QUANTIZE = {
     GGMLType.Q5_K: kquants.quantize_q5_K,
     GGMLType.Q6_K: kquants.quantize_q6_K,
     GGMLType.Q8_K: kquants.quantize_q8_K,
+    GGMLType.MXFP4: modern.quantize_mxfp4,
+    GGMLType.TQ1_0: modern.quantize_tq1_0,
+    GGMLType.TQ2_0: modern.quantize_tq2_0,
+    GGMLType.IQ4_NL: modern.quantize_iq4_nl,
+    GGMLType.IQ4_XS: modern.quantize_iq4_xs,
 }
 
 _DEQUANTIZE = {
@@ -38,6 +50,11 @@ _DEQUANTIZE = {
     GGMLType.Q5_K: kquants.dequantize_q5_K,
     GGMLType.Q6_K: kquants.dequantize_q6_K,
     GGMLType.Q8_K: kquants.dequantize_q8_K,
+    GGMLType.MXFP4: modern.dequantize_mxfp4,
+    GGMLType.TQ1_0: modern.dequantize_tq1_0,
+    GGMLType.TQ2_0: modern.dequantize_tq2_0,
+    GGMLType.IQ4_NL: modern.dequantize_iq4_nl,
+    GGMLType.IQ4_XS: modern.dequantize_iq4_xs,
 }
 
 
@@ -45,9 +62,17 @@ def supported_quant_types() -> list[GGMLType]:
     return sorted(_QUANTIZE.keys())
 
 
-def quantize(t: GGMLType, x: np.ndarray) -> np.ndarray:
-    """float32 (..., n) → structured block array (..., n // blck_size)."""
-    return _QUANTIZE[t](np.asarray(x, dtype=np.float32))
+def quantize(t: GGMLType, x: np.ndarray, quant_weights=None) -> np.ndarray:
+    """float32 (..., n) → structured block array (..., n // blck_size).
+
+    quant_weights: optional per-column importance row (imatrix), shape
+    (n,) or matching x — only for types in _QUANTIZE_IMATRIX."""
+    x = np.asarray(x, dtype=np.float32)
+    if quant_weights is not None:
+        if t not in _QUANTIZE_IMATRIX:
+            raise NotImplementedError(f"{t.name} has no imatrix-aware path")
+        return _QUANTIZE_IMATRIX[t](x, np.asarray(quant_weights, np.float32))
+    return _QUANTIZE[t](x)
 
 
 def dequantize(t: GGMLType, blocks: np.ndarray) -> np.ndarray:

@@ -20,6 +20,8 @@ QK8_0 = 32
 QK8_1 = 32
 QK_K = 256
 K_SCALE_SIZE = 12
+QK_MXFP4 = 32
+QK4_NL = 32
 
 GROUP_MAX_EPS = np.float32(1e-15)
 
@@ -116,6 +118,18 @@ BLOCK_Q6_K = np.dtype(
 BLOCK_Q8_K = np.dtype(
     [("d", "<f4"), ("qs", "i1", (QK_K,)), ("bsums", "<i2", (QK_K // 16,))]
 )
+# ref src/ggml-common.h:190-195 (mxfp4), :238-256 (ternary), :415-428 (iq4)
+BLOCK_MXFP4 = np.dtype([("e", "u1"), ("qs", "u1", (QK_MXFP4 // 2,))])
+BLOCK_TQ1_0 = np.dtype(
+    [("qs", "u1", ((QK_K - 4 * QK_K // 64) // 5,)), ("qh", "u1", (QK_K // 64,)),
+     ("d", "<f2")]
+)
+BLOCK_TQ2_0 = np.dtype([("qs", "u1", (QK_K // 4,)), ("d", "<f2")])
+BLOCK_IQ4_NL = np.dtype([("d", "<f2"), ("qs", "u1", (QK4_NL // 2,))])
+BLOCK_IQ4_XS = np.dtype(
+    [("d", "<f2"), ("scales_h", "<u2"), ("scales_l", "u1", (QK_K // 64,)),
+     ("qs", "u1", (QK_K // 2,))]
+)
 
 
 @dataclass(frozen=True)
@@ -177,6 +191,21 @@ TYPE_TRAITS: dict[GGMLType, TypeTraits] = {
     GGMLType.Q8_K: TypeTraits(
         "q8_K", QK_K, BLOCK_Q8_K.itemsize, True, BLOCK_Q8_K, GGMLType.Q8_K
     ),
+    GGMLType.MXFP4: TypeTraits(
+        "mxfp4", QK_MXFP4, BLOCK_MXFP4.itemsize, True, BLOCK_MXFP4, GGMLType.Q8_0
+    ),
+    GGMLType.TQ1_0: TypeTraits(
+        "tq1_0", QK_K, BLOCK_TQ1_0.itemsize, True, BLOCK_TQ1_0, GGMLType.Q8_K
+    ),
+    GGMLType.TQ2_0: TypeTraits(
+        "tq2_0", QK_K, BLOCK_TQ2_0.itemsize, True, BLOCK_TQ2_0, GGMLType.Q8_K
+    ),
+    GGMLType.IQ4_NL: TypeTraits(
+        "iq4_nl", QK4_NL, BLOCK_IQ4_NL.itemsize, True, BLOCK_IQ4_NL, GGMLType.Q8_0
+    ),
+    GGMLType.IQ4_XS: TypeTraits(
+        "iq4_xs", QK_K, BLOCK_IQ4_XS.itemsize, True, BLOCK_IQ4_XS, GGMLType.Q8_K
+    ),
 }
 
 # sanity: sizes must match the C static_asserts in src/ggml-common.h
@@ -192,6 +221,11 @@ assert BLOCK_Q4_K.itemsize == 2 * 2 + K_SCALE_SIZE + QK_K // 2
 assert BLOCK_Q5_K.itemsize == 2 * 2 + K_SCALE_SIZE + QK_K // 2 + QK_K // 8
 assert BLOCK_Q6_K.itemsize == 2 + QK_K // 16 + 3 * QK_K // 4
 assert BLOCK_Q8_K.itemsize == 4 + QK_K + QK_K // 16 * 2
+assert BLOCK_MXFP4.itemsize == 1 + QK_MXFP4 // 2
+assert BLOCK_TQ1_0.itemsize == 2 + QK_K // 64 + (QK_K - 4 * QK_K // 64) // 5
+assert BLOCK_TQ2_0.itemsize == 2 + QK_K // 4
+assert BLOCK_IQ4_NL.itemsize == 2 + QK4_NL // 2
+assert BLOCK_IQ4_XS.itemsize == 2 + 2 + QK_K // 64 + QK_K // 2
 
 
 def row_size(t: GGMLType, n: int) -> int:

@@ -20,8 +20,11 @@ from ggml_gfx906_tpu.quant import (
 MAX_QUANTIZATION_TOTAL_ERROR = 0.002
 MAX_QUANTIZATION_TOTAL_ERROR_2BITS = 0.0075
 MAX_QUANTIZATION_TOTAL_ERROR_3BITS = 0.0040
+MAX_QUANTIZATION_TOTAL_ERROR_TERNARY = 0.01
+MAX_QUANTIZATION_TOTAL_ERROR_MXFP4 = 0.0045  # e2m1 on gaussian-ish data
 MAX_DOT_PRODUCT_ERROR = 0.02
 MAX_DOT_PRODUCT_ERROR_LOWBIT = 0.04
+MAX_DOT_PRODUCT_ERROR_TERNARY = 0.15
 
 TOTAL_ERROR = {
     GGMLType.Q4_0: MAX_QUANTIZATION_TOTAL_ERROR,
@@ -36,11 +39,19 @@ TOTAL_ERROR = {
     GGMLType.Q5_K: MAX_QUANTIZATION_TOTAL_ERROR,
     GGMLType.Q6_K: MAX_QUANTIZATION_TOTAL_ERROR,
     GGMLType.Q8_K: MAX_QUANTIZATION_TOTAL_ERROR,
+    GGMLType.MXFP4: MAX_QUANTIZATION_TOTAL_ERROR_MXFP4,
+    GGMLType.TQ1_0: MAX_QUANTIZATION_TOTAL_ERROR_TERNARY,
+    GGMLType.TQ2_0: MAX_QUANTIZATION_TOTAL_ERROR_TERNARY,
+    GGMLType.IQ4_NL: MAX_QUANTIZATION_TOTAL_ERROR,
+    GGMLType.IQ4_XS: MAX_QUANTIZATION_TOTAL_ERROR,
 }
 
 DOT_ERROR = {
     GGMLType.Q2_K: MAX_DOT_PRODUCT_ERROR_LOWBIT,
     GGMLType.Q3_K: MAX_DOT_PRODUCT_ERROR_LOWBIT,
+    GGMLType.MXFP4: MAX_DOT_PRODUCT_ERROR_LOWBIT,
+    GGMLType.TQ1_0: MAX_DOT_PRODUCT_ERROR_TERNARY,
+    GGMLType.TQ2_0: MAX_DOT_PRODUCT_ERROR_TERNARY,
 }
 
 QTYPES = sorted(TOTAL_ERROR.keys())
