@@ -22,8 +22,7 @@ sys.path.insert(0, str(Path(__file__).parent))
 import numpy as np
 
 BASELINE_TOKS = 180.0  # MI50 Q4_0 7B-class decode tok/s (BASELINE.md)
-V5E_HBM_GBS = 819.0        # v5e spec (label only; see below)
-EFFECTIVE_HBM_GBS = 2400.0  # measured effective read BW on this device
+BASELINE_PREFILL = 1200.0  # MI50-class 7B prefill tok/s anchor (BASELINE.md)
 
 
 def random_q4k(rng, n, k, device=None):
@@ -72,11 +71,63 @@ def build_llama7b_params(cfg):
     return p
 
 
+def quality_proxy():
+    """Perplexity-delta proxy without a real checkpoint: fixed-seed logits
+    NMSE of the fused-Q4_K model vs the same f32 weights dense (BASELINE.md
+    north star asks for 'ppl Δ vs FP16 within ggml's bounds'; with synthetic
+    weights the comparable scalar is the quantized-vs-f32 logit error, which
+    catches codec *and* kernel numerical regressions)."""
+    import jax.numpy as jnp
+    from ggml_gfx906_tpu.models import llama
+    from ggml_gfx906_tpu.ops.quantized import QuantTensor
+    from ggml_gfx906_tpu.quant.types import GGMLType
+
+    cfg = llama.LlamaConfig(
+        n_vocab=1024, n_ctx=256, n_embd=512, n_head=8, n_kv_head=8,
+        n_layer=2, n_ff=1024, compute_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(7)
+
+    def mk(n, k):
+        return (rng.standard_normal((n, k)) * 0.03).astype(np.float32)
+
+    def pair():
+        f32, q = {}, {}
+        D, V, FF = cfg.n_embd, cfg.n_vocab, cfg.n_ff
+        for name, shp in (("wq", (D, D)), ("wk", (D, D)), ("wv", (D, D)),
+                          ("wo", (D, D)), ("w_gate", (FF, D)),
+                          ("w_up", (FF, D)), ("w_down", (D, FF))):
+            w = mk(*shp)
+            f32[name] = jnp.asarray(w)
+            q[name] = QuantTensor.quantize(GGMLType.Q4_K, w)
+        ones = jnp.ones((D,), jnp.float32)
+        f32["attn_norm"] = q["attn_norm"] = ones
+        f32["ffn_norm"] = q["ffn_norm"] = ones
+        return f32, q
+
+    wte = mk(cfg.n_vocab, cfg.n_embd)
+    pf = {"wte": jnp.asarray(wte), "out_norm": jnp.ones((cfg.n_embd,)),
+          "blocks": []}
+    pq = {"wte": QuantTensor.quantize(GGMLType.Q4_K, wte),
+          "out_norm": jnp.ones((cfg.n_embd,)), "blocks": []}
+    for _ in range(cfg.n_layer):
+        f32, q = pair()
+        pf["blocks"].append(f32)
+        pq["blocks"].append(q)
+    toks = jnp.asarray(rng.integers(0, cfg.n_vocab, 32).astype(np.int32))
+    lf, _ = llama.forward(cfg, pf, toks, llama.make_cache(cfg, 128),
+                          jnp.int32(0))
+    lq, _ = llama.forward(cfg, pq, toks, llama.make_cache(cfg, 128),
+                          jnp.int32(0))
+    lf, lq = np.asarray(lf, np.float64), np.asarray(lq, np.float64)
+    return float(((lq - lf) ** 2).mean() / (lf ** 2).mean())
+
+
 def bench_llama7b():
     import jax
     import jax.numpy as jnp
     from ggml_gfx906_tpu.models import llama
     from ggml_gfx906_tpu.ops.quantized import QuantTensor
+    from ggml_gfx906_tpu.utils.perf import measure_hbm_bw
 
     cfg = llama.LlamaConfig(
         n_vocab=32000, n_ctx=2048, n_embd=4096, n_head=32, n_kv_head=32,
@@ -89,52 +140,85 @@ def bench_llama7b():
     print(f"built 7B params ({wbytes/1e9:.2f} GB) in {time.time()-t0:.0f}s",
           file=sys.stderr)
 
+    def note(msg):
+        print(f"[bench +{time.time()-T0:.0f}s] {msg}", file=sys.stderr, flush=True)
+    T0 = time.time()
+
     max_seq = 1024
     kv = llama.make_cache(cfg, max_seq)
     prompt = jnp.asarray(np.arange(64, dtype=np.int32) % 1000)
     logits, kv = llama.forward_jit(cfg, params, prompt, kv, jnp.int32(0))
     tok = jnp.argmax(logits[-1]).astype(jnp.int32)[None]
 
-    # decode via the donated single-step program; dispatches pipeline
-    # against device execution. (A 16-step unrolled chunk amortizes host
-    # dispatch further — llama.decode_chunk — but its compile takes >25 min
-    # on this CPU-starved host, too slow for a bench run; lax.scan is
-    # 4-6x slower at runtime because XLA copies the carried caches.)
-    logits, kv = llama.forward_jit(cfg, params, tok, kv, jnp.int32(64))
-    logits.block_until_ready()  # compile
+    # decode via the donated single-step program (a 16-step unrolled chunk
+    # amortizes host dispatch further — llama.decode_chunk — but takes
+    # >25 min to compile on this CPU-starved host; lax.scan is 4-6x slower
+    # at runtime because XLA copies the carried caches). decode_step feeds
+    # argmax(logits) back as the next input INSIDE the program, so steps
+    # carry the true autoregressive dependence — re-dispatching a constant
+    # token would let dispatches pipeline in a way real decode cannot.
+    tok, kv = llama.decode_step(cfg, params, tok, kv, jnp.int32(64))
+    note("prompt+decode compile...")
+    int(tok[0])  # force lazy compile + execution (block_until_ready is a
+    #              no-op on this runtime: it returns at ENQUEUE — only a
+    #              value fetch marks completion; see utils/perf.device_sync)
 
-    # host-dispatch contention on this shared VM adds 30-80% run-to-run
-    # variance to the enqueue loop; measure several rounds, report the best
-    # sustained rate (device capability, ~1 s each)
+    # decode: chained steps enqueue asynchronously and execute back-to-back
+    # on device (each step consumes the previous step's token and cache);
+    # ONE value fetch at the end of each round marks real completion.
+    note("decode rounds...")
     n_steps = 256
     toks_s = 0.0
     pos = 65
     for _ in range(3):
         t0 = time.time()
         for i in range(n_steps):
-            logits, kv = llama.forward_jit(cfg, params, tok, kv,
-                                           jnp.int32(pos + i))
-        logits.block_until_ready()
+            tok, kv = llama.decode_step(cfg, params, tok, kv,
+                                        jnp.int32(pos + i))
+        int(tok[0])
         dt = time.time() - t0
         pos += n_steps
         toks_s = max(toks_s, n_steps / dt)
+    mid_pos = 65 + n_steps * 2.5  # cache fill at the middle of the best round
 
-    # empirical HBM read bandwidth (device-generated random data so XLA
-    # cannot constant-fold the reduction)
-    # Effective HBM read bandwidth: empirically ~2.4 TB/s on this device
-    # (triangulated from per-step-synchronized full-model decode and chained
-    # read probes; the "v5 lite" label under-describes the part, and naive
-    # probes mismeasure — see git history for the measurement forensics).
-    bw = EFFECTIVE_HBM_GBS * 1e9
-    roofline = bw / wbytes  # tok/s if weights were read once per token
+    # prefill: one 512-token forward through the flash-attention kernel
+    n_pre = 512
+    pre = jnp.asarray(np.arange(n_pre, dtype=np.int32) % 1000)
+    kvp = llama.make_cache(cfg, max_seq)
+    note("prefill compile...")
+    lg, kvp = llama.forward_jit(cfg, params, pre, kvp, jnp.int32(0))
+    float(lg[0, 0])  # force compile + execution
+    pre_s = 0.0
+    for _ in range(3):
+        kvp = llama.make_cache(cfg, max_seq)
+        float(kvp.k[0][0, 0, 0])  # materialize fresh cache before timing
+        t0 = time.time()
+        lg, kvp = llama.forward_jit(cfg, params, pre, kvp, jnp.int32(0))
+        float(lg[0, 0])
+        pre_s = max(pre_s, n_pre / (time.time() - t0))
+    del kvp, lg
+
+    # HBM bandwidth measured IN-RUN (chained-dependence probe — constants,
+    # fused identical reads, and host-data transfers all mismeasure; see
+    # utils/perf.py). Roofline counts weights + the valid KV prefix actually
+    # streamed per decode step at the measurement midpoint.
+    note("bw probe...")
+    bw = measure_hbm_bw()
+    kv_bytes = (2 * cfg.n_layer * cfg.n_kv_head * cfg.head_dim * mid_pos
+                * jnp.dtype(cfg.compute_dtype).itemsize)
+    roofline = bw / (wbytes + kv_bytes)
+    note("quality proxy...")
+    nmse = quality_proxy()
     print(json.dumps({
         "metric": "llama7b_q4k_decode_tok_s_per_chip",
         "value": round(toks_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(toks_s / BASELINE_TOKS, 3),
+        "prefill_tok_s": round(pre_s, 1),
         "pct_hbm_roofline": round(100 * toks_s / roofline, 1),
         "measured_hbm_gbs": round(bw / 1e9, 0),
         "weight_bytes": wbytes,
+        "logits_nmse_q4k_vs_f32": round(nmse, 8),
         "device": str(jax.devices()[0]),
     }))
 
@@ -154,13 +238,14 @@ def bench_gpt2():
     prompt = jnp.asarray(np.arange(64, dtype=np.int32))
     logits, kv = gpt2.forward_jit(cfg, params, prompt, kv, jnp.int32(0))
     tok = jnp.argmax(logits[-1]).astype(jnp.int32)[None]
-    logits, kv = gpt2.forward_jit(cfg, params, tok, kv, jnp.int32(64))
-    logits.block_until_ready()
+    tok, kv = gpt2.decode_step(cfg, params, tok, kv, jnp.int32(64))
+    int(tok[0])  # value fetch = real completion (block_until_ready is a
+    #              no-op on this runtime)
     n_steps = 64
     t0 = time.time()
     for i in range(n_steps):
-        logits, kv = gpt2.forward_jit(cfg, params, tok, kv, jnp.int32(65 + i))
-    logits.block_until_ready()
+        tok, kv = gpt2.decode_step(cfg, params, tok, kv, jnp.int32(65 + i))
+    int(tok[0])
     toks = n_steps / (time.time() - t0)
     print(json.dumps({
         "metric": "gpt2_117m_q8_0_decode_tok_s_per_chip",

@@ -151,6 +151,14 @@ def forward_jit(cfg, params, tokens, kv, start):
     return forward(cfg, params, tokens, kv, start)
 
 
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=3)
+def decode_step(cfg, params, tok, kv, start):
+    """Greedy step with argmax in-program (see models/llama.py:decode_step:
+    chained calls then carry the true autoregressive token dependence)."""
+    logits, kv = forward(cfg, params, tok, kv, start)
+    return jnp.argmax(logits[-1]).astype(jnp.int32)[None], kv
+
+
 def forward_train(cfg: GPT2Config, params: dict, tokens: jax.Array) -> jax.Array:
     """Batched full-sequence forward without a KV cache (training path).
     tokens: (B, S) int32 → logits (B, S, n_vocab) f32."""

@@ -121,15 +121,25 @@ def _rope(cfg: LlamaConfig, x, pos):
 
 
 def forward(cfg: LlamaConfig, params: dict, tokens: jax.Array,
-            kv: KVCache, start) -> tuple[jax.Array, KVCache]:
-    """tokens (S,) at absolute positions [start, start+S) → (logits, kv)."""
+            kv: KVCache, start, tp_axis: str | None = None
+            ) -> tuple[jax.Array, KVCache]:
+    """tokens (S,) at absolute positions [start, start+S) → (logits, kv).
+
+    tp_axis: shard_map mesh-axis name for Megatron tensor parallelism —
+    wq/wk/wv/w_gate/w_up hold only this shard's output rows (local heads),
+    wo/w_down only this shard's input columns, and the two partial-sum
+    matmuls are psum-reduced over the axis (the GSPMD/shard_map analogue of
+    the CUDA split-buffer row sharding, ref ggml-cuda.cu:799-1070). Head
+    counts are derived from the weight shards, not cfg."""
     S = tokens.shape[0]
-    H, KVH, HD = cfg.n_head, cfg.n_kv_head, cfg.head_dim
+    HD = cfg.head_dim
     dt = cfg.compute_dtype
     pos = start + jnp.arange(S, dtype=jnp.int32)
     x = _embed(params["wte"], tokens).astype(dt)
 
     for li, blk in enumerate(params["blocks"]):
+        H = blk["wq"].shape[0] // HD     # local when row-sharded
+        KVH = blk["wk"].shape[0] // HD
         h = _rms(x, blk["attn_norm"], cfg.rms_eps)
         q = qmatmul(h, blk["wq"]).reshape(S, H, HD)
         k = qmatmul(h, blk["wk"]).reshape(S, KVH, HD)
@@ -143,12 +153,18 @@ def forward(cfg: LlamaConfig, params: dict, tokens: jax.Array,
             kc[None], vc[None], start, scale=1.0 / (HD ** 0.5),
             k_scale=None if kd is None else kd[None],
             v_scale=None if vd is None else vd[None])
-        att = jnp.transpose(att[0], (1, 0, 2)).reshape(S, cfg.n_embd)
-        x = x + qmatmul(att, blk["wo"])
+        att = jnp.transpose(att[0], (1, 0, 2)).reshape(S, H * HD)
+        a = qmatmul(att, blk["wo"])
+        if tp_axis:
+            a = jax.lax.psum(a, tp_axis)
+        x = x + a
         h2 = _rms(x, blk["ffn_norm"], cfg.rms_eps)
         gate = ops.silu(qmatmul(h2, blk["w_gate"]))
         up = qmatmul(h2, blk["w_up"])
-        x = x + qmatmul(gate * up, blk["w_down"])
+        d = qmatmul(gate * up, blk["w_down"])
+        if tp_axis:
+            d = jax.lax.psum(d, tp_axis)
+        x = x + d
 
     x = _rms(x, params["out_norm"], cfg.rms_eps)
     head = params.get("lm_head", params["wte"])
@@ -158,6 +174,17 @@ def forward(cfg: LlamaConfig, params: dict, tokens: jax.Array,
 @functools.partial(jax.jit, static_argnums=0, donate_argnums=3)
 def forward_jit(cfg, params, tokens, kv, start):
     return forward(cfg, params, tokens, kv, start)
+
+
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=3)
+def decode_step(cfg, params, tok, kv, start):
+    """One greedy decode step with the argmax folded into the program:
+    (tok (1,), kv, start) → (next_tok (1,), kv). The returned token is the
+    *input* of the next step, so chained calls carry the real autoregressive
+    data dependence (a decode loop that re-dispatches a constant token lets
+    dispatches pipeline in a way real decode cannot — measurement trap)."""
+    logits, kv = forward(cfg, params, tok, kv, start)
+    return jnp.argmax(logits[-1]).astype(jnp.int32)[None], kv
 
 
 def make_cache(cfg: LlamaConfig, max_seq: int | None = None,
@@ -191,20 +218,22 @@ def generate(cfg: LlamaConfig, params: dict, prompt_tokens, n_predict: int,
 
 
 def forward_batch(cfg: LlamaConfig, params: dict, tokens: jax.Array,
-                  kv, start: jax.Array):
+                  kv, start: jax.Array, tp_axis: str | None = None):
     """Batched serving forward: tokens (B, S) at per-slot positions
     start (B,) against a BatchedKVCache → (logits (B, S, V), kv).
 
     Slots are independent sequences (the reference's seq_id batching,
     examples/gpt-2/main-batched.cpp): each slot attends only to its own
-    cache region below its current position."""
+    cache region below its current position. tp_axis: see forward()."""
     B, S = tokens.shape
-    H, KVH, HD = cfg.n_head, cfg.n_kv_head, cfg.head_dim
+    HD = cfg.head_dim
     dt = cfg.compute_dtype
     pos = start[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]  # (B, S)
     x = _embed(params["wte"], tokens).astype(dt)
 
     for li, blk in enumerate(params["blocks"]):
+        H = blk["wq"].shape[0] // HD     # local when row-sharded
+        KVH = blk["wk"].shape[0] // HD
         h = _rms(x, blk["attn_norm"], cfg.rms_eps)
         q = qmatmul(h, blk["wq"]).reshape(B, S, H, HD)
         k = qmatmul(h, blk["wk"]).reshape(B, S, KVH, HD)
@@ -217,12 +246,18 @@ def forward_batch(cfg: LlamaConfig, params: dict, tokens: jax.Array,
             kv.k[li],  # cache already (B, H, max_seq, HD)
             kv.v[li],
             start, scale=1.0 / (HD ** 0.5))
-        att = jnp.transpose(att, (0, 2, 1, 3)).reshape(B, S, cfg.n_embd)
-        x = x + qmatmul(att, blk["wo"])
+        att = jnp.transpose(att, (0, 2, 1, 3)).reshape(B, S, H * HD)
+        a = qmatmul(att, blk["wo"])
+        if tp_axis:
+            a = jax.lax.psum(a, tp_axis)
+        x = x + a
         h2 = _rms(x, blk["ffn_norm"], cfg.rms_eps)
         gate = ops.silu(qmatmul(h2, blk["w_gate"]))
         up = qmatmul(h2, blk["w_up"])
-        x = x + qmatmul(gate * up, blk["w_down"])
+        d = qmatmul(gate * up, blk["w_down"])
+        if tp_axis:
+            d = jax.lax.psum(d, tp_axis)
+        x = x + d
 
     x = _rms(x, params["out_norm"], cfg.rms_eps)
     head = params.get("lm_head", params["wte"])

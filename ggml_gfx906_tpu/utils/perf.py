@@ -15,33 +15,131 @@ import time
 
 import numpy as np
 
-# v5e per-chip rooflines
-HBM_GBS = 819.0
+# v5e per-chip spec rooflines (labels only — roofline percentages use the
+# *measured* bandwidth from measure_hbm_bw(); this chip sustains well above
+# the 819 GB/s v5e spec, and quoting spec made %HBM numbers incomparable
+# between harnesses)
+HBM_GBS_SPEC = 819.0
 BF16_TFLOPS = 197.0
 
+_MEASURED_BW: list = []  # cached per process
 
-def _time_fn(fn, x_batch, *extra, iters=20):
-    """Time `fn(x, *extra)` per iteration: iterations unrolled inside ONE
-    compiled program over distinct inputs. Hard-won measurement rules:
-    - per-dispatch host timing measures the axon tunnel (~2-4 ms), not the op
-    - weights must be ARGUMENTS: closure-captured device arrays become jit
-      constants which this runtime re-uploads per execution
-    - distinct inputs per iteration prevent CSE"""
+
+def device_sync(x) -> None:
+    """Wait until the computation producing pytree `x` has ACTUALLY run.
+
+    On the axon runtime `block_until_ready()` returns at enqueue time, not
+    completion (measured: a 16-pass 2 GB reduction 'blocks' in 0.07 ms and
+    then takes 97 ms to deliver its value). Every timed region must end by
+    fetching real bytes; this pulls one scalar from the first leaf, which
+    forces the producing executable (and everything it depends on) to
+    finish."""
+    import jax
+    import numpy as _np
+
+    leaf = jax.tree.leaves(x)[0]
+    _np.asarray(jax.device_get(leaf.ravel()[0] if leaf.ndim else leaf))
+
+
+def measure_hbm_bw(nbytes: int = 1 << 31) -> float:
+    """Effective HBM read bandwidth (bytes/s), measured in-run.
+
+    Slope method over a chained-dependence probe: time `inner` full passes
+    over a device-generated random buffer for two values of `inner` and
+    divide the extra passes by the extra time — the fixed per-dispatch cost
+    (tunnel latency, sync fetch) cancels. Each pass xors the previous
+    pass's scalar into the streamed values before reducing, so XLA can
+    neither hoist the read out of the loop nor algebraically split it
+    (sum(buf + s) simplifies to sum(buf) + n·s and 'measured' 112 TB/s;
+    xor does not). Rules learned on hardware: jnp.ones-style buffers
+    constant-fold; host data pays a tunnel transfer; identical reads in one
+    jit get loop-fused; byte-identical re-dispatches are memoized; and
+    block_until_ready returns at ENQUEUE — only device_sync's value fetch
+    marks completion. Fresh buffers per timed call + xor chain + slope +
+    fetch-sync defeat all five."""
+    import jax
+    import jax.numpy as jnp
+
+    if _MEASURED_BW:
+        return _MEASURED_BW[0]
+    n = nbytes // 4
+
+    def make(seed):
+        return jax.random.randint(jax.random.PRNGKey(seed), (n,),
+                                  -(2 ** 30), 2 ** 30, jnp.int32)
+
+    def mkprobe(inner):
+        @jax.jit
+        def probe(buf):
+            def body(_, s):
+                return jnp.sum(jnp.bitwise_xor(buf, s), dtype=jnp.int32)
+            return jax.lax.fori_loop(0, inner, body, jnp.int32(0))
+        return probe
+
+    def timed(probe, bufs):
+        # memoization is keyed on (program, inputs): the same buffer may be
+        # reused by the lo and hi probes, but never twice by one probe
+        best = float("inf")
+        for buf in bufs:
+            t0 = time.perf_counter()
+            device_sync(probe(buf))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    lo, hi = 8, 40
+    p_lo, p_hi = mkprobe(lo), mkprobe(hi)
+    warm = make(990)
+    device_sync(p_lo(warm))  # lazy compile happens at first fetch
+    device_sync(p_hi(warm))
+    del warm
+    bufs = [make(0), make(1)]
+    for b in bufs:
+        device_sync(b)
+    t_lo, t_hi = timed(p_lo, bufs), timed(p_hi, bufs)
+    for b in bufs:
+        del b
+    bw = nbytes * (hi - lo) / max(t_hi - t_lo, 1e-9)
+    _MEASURED_BW.append(bw)
+    return bw
+
+
+def hbm_gbs() -> float:
+    """Measured effective HBM GB/s (cached); spec constant on non-TPU."""
     import jax
 
-    n = x_batch.shape[0]
+    if jax.default_backend() != "tpu":
+        return HBM_GBS_SPEC
+    return measure_hbm_bw() / 1e9
+
+
+def _time_fn(fn, x_batch, *extra, iters=20, rounds=3):
+    """Time `fn(x, *extra)` per iteration. Hard-won measurement rules:
+    - per-dispatch host timing measures the axon tunnel (~2-4 ms), not the
+      op — iterations are unrolled inside ONE compiled program
+    - weights must be ARGUMENTS: closure-captured device arrays become jit
+      constants which this runtime re-uploads per execution
+    - distinct inputs per iteration prevent CSE *within* the program, and
+      every timed round consumes its own slice of x_batch — this runtime
+      memoizes byte-identical re-dispatches, so no timed call may repeat
+      input data. x_batch must carry (rounds + 1) * iters distinct slices
+      (first slice is the compile/warmup call)."""
+    import jax
+
+    assert x_batch.shape[0] >= (rounds + 1) * iters, x_batch.shape
 
     def many(xs, *ex):
-        return [fn(xs[i], *ex) for i in range(n)]
+        return [fn(xs[i], *ex) for i in range(iters)]
 
     f = jax.jit(many)
-    out = f(x_batch, *extra)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(3):
-        out = f(x_batch, *extra)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / (3 * iters)
+    device_sync(f(x_batch[:iters], *extra))
+    best = float("inf")
+    for r in range(1, rounds + 1):
+        xs = x_batch[r * iters:(r + 1) * iters]
+        t0 = time.time()
+        out = f(xs, *extra)
+        device_sync(out[-1])   # value fetch = the only real completion mark
+        best = min(best, time.time() - t0)
+    return best / iters
 
 
 def _random_qt(rng, qtype, n, k):
@@ -81,8 +179,8 @@ def bench_qmm(qtype_name: str, m: int, n: int, k: int):
 
     qtype = GGMLType[qtype_name]
     rng = np.random.default_rng(0)
-    iters = 20
-    xs = jnp.asarray(rng.standard_normal((iters, m, k)).astype(np.float32))
+    iters = 8
+    xs = jnp.asarray(rng.standard_normal((4 * iters, m, k)).astype(np.float32))
     qt = _random_qt(rng, qtype, n, k)
     dt = _time_fn(lambda a, q: qmatmul(a, q), xs, qt, iters=iters)
     flops = 2 * m * n * k
@@ -92,7 +190,7 @@ def bench_qmm(qtype_name: str, m: int, n: int, k: int):
         "ms": dt * 1e3,
         "gflops": flops / dt / 1e9,
         "gbs": bytes_ / dt / 1e9,
-        "pct_hbm": 100 * bytes_ / dt / 1e9 / HBM_GBS,
+        "pct_hbm": 100 * bytes_ / dt / 1e9 / hbm_gbs(),
     }
 
 
@@ -106,7 +204,7 @@ def bench_dequant(qtype_name: str, n: int, k: int):
     rng = np.random.default_rng(0)
     qt = _random_qt(rng, qtype, n, k)
     iters = 20
-    eps = jnp.asarray(np.arange(iters, dtype=np.float32) * 1e-12)
+    eps = jnp.asarray(np.arange(4 * iters, dtype=np.float32) * 1e-12 + 1e-15)
     dname = "d" if "d" in qt.fields else "dsclo"
 
     def run(e, q):
@@ -119,7 +217,7 @@ def bench_dequant(qtype_name: str, n: int, k: int):
     bytes_ = qt.nbytes + 4 * n * k
     return {"op": f"dequant_{qtype_name}", "shape": f"{n}x{k}",
             "ms": dt * 1e3, "gbs": bytes_ / dt / 1e9,
-            "pct_hbm": 100 * bytes_ / dt / 1e9 / HBM_GBS}
+            "pct_hbm": 100 * bytes_ / dt / 1e9 / hbm_gbs()}
 
 
 def bench_attention(b: int, h: int, n: int, m: int, d: int):
@@ -127,8 +225,8 @@ def bench_attention(b: int, h: int, n: int, m: int, d: int):
     from .. import ops
 
     rng = np.random.default_rng(0)
-    iters = 10
-    qs = jnp.asarray(rng.standard_normal((iters, b, h, n, d)).astype(np.float32))
+    iters = 5
+    qs = jnp.asarray(rng.standard_normal((4 * iters, b, h, n, d)).astype(np.float32))
     k = jnp.asarray(rng.standard_normal((b, h, m, d)).astype(np.float32))
     v = jnp.asarray(rng.standard_normal((b, h, m, d)).astype(np.float32))
     dt = _time_fn(lambda a, kk, vv: ops.flash_attn_ext(a, kk, vv), qs, k, v,
@@ -145,12 +243,12 @@ def bench_softmax(rows: int, cols: int):
     from .. import ops
 
     rng = np.random.default_rng(0)
-    iters = 20
-    xs = jnp.asarray(rng.standard_normal((iters, rows, cols)).astype(np.float32))
+    iters = 5
+    xs = jnp.asarray(rng.standard_normal((4 * iters, rows, cols)).astype(np.float32))
     dt = _time_fn(lambda a: ops.soft_max_ext(a[None]), xs, iters=iters)
     bytes_ = 2 * 4 * rows * cols
     return {"op": "softmax", "shape": f"{rows}x{cols}", "ms": dt * 1e3,
-            "gbs": bytes_ / dt / 1e9, "pct_hbm": 100 * bytes_ / dt / 1e9 / HBM_GBS}
+            "gbs": bytes_ / dt / 1e9, "pct_hbm": 100 * bytes_ / dt / 1e9 / hbm_gbs()}
 
 
 ALL = {
