@@ -236,6 +236,31 @@ class QuantTensor:
         return cls.from_blocks(qtype, quantize(qtype, x), x.shape, device,
                                prefer_kernel)
 
+    def localize(self) -> "QuantTensor":
+        """Rebind the logical shape to the actual field shapes.
+
+        Inside shard_map the pytree leaves are per-device shards while aux
+        data (this dataclass's `shape`) still carries the global value; the
+        kernels and dequant reshape against `shape`, so sharded-weight
+        forwards must localize first (parallel/tp.py does this)."""
+        qs = self.fields.get("qs")
+        if self.layout == "kernel":
+            n = qs.shape[0]
+            if self.qtype in (GGMLType.Q4_K, GGMLType.Q4_0):
+                k = qs.shape[1] * 2
+            elif self.qtype in (GGMLType.Q8_0, GGMLType.Q6_K, GGMLType.Q5_K):
+                k = qs.shape[1]
+            else:
+                raise KeyError(self.qtype)
+        else:
+            lead = self.fields[_FIELDS[self.qtype][0]]
+            n = lead.shape[0]
+            k = lead.shape[1] * TYPE_TRAITS[self.qtype].blck_size
+        shp = (n, k)
+        if shp == tuple(self.shape):
+            return self
+        return QuantTensor(self.qtype, shp, self.fields, self.layout)
+
 
 def dequant(qt: QuantTensor, dtype=jnp.float32) -> jax.Array:
     """Expand to a dense array of qt.shape (bit-exact f32 w.r.t. the C ref)."""
