@@ -44,46 +44,98 @@ def initialize(coordinator_address: str | None = None,
     return True
 
 
+HEADER_KEY = "__header__"
+
+
 def serve_model(gguf_path, port: int = 18515, cache_dir: str | None = None):
-    """Host-0 side: start the native transport server and publish the model's
-    tensor blobs + a manifest. Returns (server, manifest)."""
+    """Host-0 side: start the native transport server and publish the
+    model's header (KV metadata + tensor directory, everything before the
+    data section) and per-tensor blobs. Returns (server, manifest) where
+    manifest maps tensor name → FNV-1a hash plus HEADER_KEY → header hash
+    (the serve half of the reference's model-upload loop,
+    src/ggml-rpc/ggml-rpc.cpp:1387-1654)."""
+    from ..gguf import GGUFReader
     from .transport import TransportClient, TransportServer, distribute_gguf
 
     srv = TransportServer(port=port, cache_dir=cache_dir)
     with TransportClient(port=srv.port) as c:
         manifest = distribute_gguf(gguf_path, c)
+        r = GGUFReader(gguf_path, header_only=True)
+        with open(gguf_path, "rb") as f:
+            hdr = f.read(r.data_offset)
+        h, _ = c.put(hdr)
+        manifest[HEADER_KEY] = h
     manifest_path = Path(str(gguf_path) + ".manifest.json")
     manifest_path.write_text(json.dumps(
         {"tensors": {k: str(v) for k, v in manifest.items()}}))
-    log.info(f"serving {len(manifest)} tensors on port {srv.port}")
+    log.info(f"serving {len(manifest) - 1} tensors on port {srv.port}")
     return srv, manifest
+
+
+def _validate_local(path: Path, manifest: dict[str, int]) -> bool:
+    """FULL hash validation of a cached/rebuilt GGUF: every tensor's bytes
+    (and the header when the manifest carries one) must match — a torn or
+    partially-written cache file with valid leading tensors must not pass."""
+    from ..gguf import GGUFReader
+    from .transport import fnv1a
+
+    try:
+        r = GGUFReader(path)
+    except Exception:
+        return False
+    names = [n for n in manifest if n != HEADER_KEY]
+    if set(names) != set(r.tensors):
+        return False
+    if HEADER_KEY in manifest:
+        with open(path, "rb") as f:
+            if fnv1a(f.read(r.data_offset)) != manifest[HEADER_KEY]:
+                return False
+    return all(fnv1a(bytes(r.tensor_bytes(n))) == manifest[n] for n in names)
 
 
 def sync_model(gguf_path, host: str, port: int, cache_dir: str,
                manifest: dict[str, int]) -> Path:
-    """Worker side: ensure all tensor blobs exist locally (fetched by hash,
-    satisfied from cache_dir when already present), then rebuild a local
-    GGUF identical to the coordinator's.
-
-    The header (KV metadata + tensor directory) is fetched as its own blob
-    keyed under 'header' in the manifest."""
-    from ..gguf import GGUFReader, GGUFWriter
+    """Worker side: rebuild a byte-identical local GGUF through the
+    transport — header fetch → directory parse → per-tensor GET (each blob
+    hash-checked) → placement at the original offsets → full-file
+    revalidation. A cached copy is reused only if it passes the FULL hash
+    validation (replaces the reference's client half of the model-upload
+    protocol, src/ggml-rpc/ggml-rpc.cpp:1387-1654)."""
+    from ..gguf import GGUFReader
     from .transport import TransportClient, fnv1a
 
-    local = Path(cache_dir) / Path(str(gguf_path)).name
-    if local.exists():
-        try:
-            r = GGUFReader(local)
-            ok = all(fnv1a(bytes(r.tensor_bytes(n))) == manifest[n]
-                     for n in list(r.tensors)[:3])  # spot check
-            if ok:
-                log.info(f"model already cached at {local}")
-                return local
-        except Exception:
-            pass
-    raise NotImplementedError(
-        "full remote rebuild lands with real multi-host runs; single-host "
-        "path uses the shared filesystem")
+    cache = Path(cache_dir)
+    cache.mkdir(parents=True, exist_ok=True)
+    local = cache / Path(str(gguf_path)).name
+    if local.exists() and _validate_local(local, manifest):
+        log.info(f"model already cached at {local}")
+        return local
+
+    with TransportClient(host, port) as c:
+        hdr = c.get(manifest[HEADER_KEY])
+        if hdr is None or fnv1a(hdr) != manifest[HEADER_KEY]:
+            raise IOError("header blob missing or corrupt")
+        tmp = local.with_suffix(local.suffix + ".part")
+        tmp.write_bytes(hdr)
+        r = GGUFReader(tmp, header_only=True)
+        total = r.data_offset + max(
+            (ti.offset + ti.n_bytes for ti in r.tensors.values()), default=0)
+        with open(tmp, "r+b") as f:
+            f.truncate(total)  # zero-fill = the writer's alignment padding
+            for name, ti in r.tensors.items():
+                blob = c.get(manifest[name])
+                if blob is None or fnv1a(blob) != manifest[name]:
+                    raise IOError(f"tensor blob {name} missing or corrupt")
+                if len(blob) != ti.n_bytes:
+                    raise IOError(f"tensor {name}: size {len(blob)} != "
+                                  f"{ti.n_bytes}")
+                f.seek(r.data_offset + ti.offset)
+                f.write(blob)
+    tmp.rename(local)
+    if not _validate_local(local, manifest):
+        raise IOError("rebuilt GGUF failed full-hash validation")
+    log.info(f"model rebuilt at {local} ({total} bytes)")
+    return local
 
 
 def local_topology() -> dict:
