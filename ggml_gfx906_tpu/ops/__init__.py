@@ -4,15 +4,19 @@ from .basic import (  # noqa: F401
     clamp, concat, count_equal, cross_entropy_loss, diag_mask_inf, elu,
     embedding, exp, geglu, geglu_erf, geglu_quick, gelu, gelu_erf, gelu_quick,
     get_rows, group_norm, hardsigmoid, hardswish, l2_norm, leaky_relu, mean,
-    neg, norm, pad, pad_reflect_1d, reglu, relu, repeat, rms_norm, roll, scale,
+    neg, norm, out_prod, pad, pad_reflect_1d, reglu, relu, repeat, rms_norm, roll, scale,
     set_rows, sgn, sigmoid, silu, soft_max, soft_max_ext, softcap, step, sum_,
     sum_rows, swiglu, swiglu_oai, tanh, timestep_embedding, top_k, UNARY,
 )
-from .rope import rope_ext, yarn_corr_dims, ROPE_TYPE_NEOX, ROPE_TYPE_NORMAL  # noqa: F401
+from .rope import (  # noqa: F401
+    rope_ext, rope_multi, yarn_corr_dims, ROPE_TYPE_MROPE, ROPE_TYPE_NEOX,
+    ROPE_TYPE_NORMAL, ROPE_TYPE_VISION,
+)
 from .attention import attention_ref, causal_flash_attn, flash_attn_ext  # noqa: F401
 from .quantized import QuantTensor, dequant, qmatmul  # noqa: F401
 from .conv import (  # noqa: F401
-    add_rel_pos, conv_1d, conv_1d_dw, conv_2d, conv_2d_dw, conv_transpose_1d,
+    add_rel_pos, conv_1d, conv_1d_dw, conv_2d, conv_2d_dw, conv_3d,
+    conv_transpose_1d,
     conv_transpose_2d, get_rel_pos, im2col, interpolate_bilinear, pool_1d,
     pool_2d, ssm_conv, ssm_scan, upscale_nearest, win_part, win_unpart,
 )

@@ -343,6 +343,24 @@ def acc(x, src, offset_elems: int, target_shape=None):
     return jax.lax.dynamic_update_slice(flat, upd, (offset_elems,)).reshape(x.shape)
 
 
+def out_prod(a, b):
+    """GGML_OP_OUT_PROD (ggml_out_prod, include/ggml.h:1311; CPU kernel
+    src/ggml-cpu/ops.cpp:4542): a (..., n, m), b (..., n, p) → (..., p, m)
+    = bᵀ·a per batch — dst[j, :] = Σ_k b[k, j] · a[k, :], the rank-n update
+    the reference's autodiff uses for weight gradients. Leading batch dims
+    of b may be a multiple of a's (GQA-style broadcast, dps2/dps3)."""
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    if a.ndim > 2 and b.ndim == a.ndim and a.shape[:-2] != b.shape[:-2]:
+        # broadcast a's groups over b's (dst-per-src ratios)
+        reps = [bs // as_ for bs, as_ in zip(b.shape[:-2], a.shape[:-2])]
+        for ax, r in enumerate(reps):
+            if r > 1:
+                a = jnp.repeat(a, r, axis=ax)
+    return jnp.einsum("...nm,...np->...pm", a, b,
+                      preferred_element_type=jnp.float32)
+
+
 # ---------------------------------------------------------------- reductions
 
 def sum_(x):

@@ -48,6 +48,19 @@ def conv_2d(x, w, stride=(1, 1), padding=(0, 0), dilation=(1, 1)):
     return _conv(x, w, s, [(p[0], p[0]), (p[1], p[1])], d)
 
 
+def conv_3d(x, w, stride=(1, 1, 1), padding=(0, 0, 0), dilation=(1, 1, 1)):
+    """ggml_conv_3d (include/ggml.h:1866): x (N, C, D, H, W),
+    w (OC, IC, KD, KH, KW) → (N, OC, D_out, H_out, W_out)."""
+    s = (stride,) * 3 if isinstance(stride, int) else stride
+    p = (padding,) * 3 if isinstance(padding, int) else padding
+    d = (dilation,) * 3 if isinstance(dilation, int) else dilation
+    return jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), w.astype(jnp.float32),
+        window_strides=s, padding=[(pi, pi) for pi in p], rhs_dilation=d,
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        preferred_element_type=jnp.float32)
+
+
 def conv_2d_dw(x, w, stride=(1, 1), padding=(0, 0), dilation=(1, 1)):
     """depthwise 2d: w (C, 1, KH, KW)."""
     c = x.shape[1]
@@ -228,6 +241,7 @@ def ssm_scan(s, x, dt, A, B, C):
     s: (B, D, N) initial state; x: (B, L, D); dt: (B, L, D);
     A: (D, N); B, C: (B, L, N). Returns (y (B, L, D), s_final)."""
     dtf = jax.nn.softplus(dt.astype(jnp.float32))
+    A = A.astype(jnp.float32)
 
     def step(state, inputs):
         xt, dtt, Bt, Ct = inputs

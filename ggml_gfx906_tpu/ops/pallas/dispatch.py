@@ -1,11 +1,20 @@
 """Dispatch kernel-layout QuantTensors to the fused Pallas matmuls."""
 from __future__ import annotations
 
+import os
+
 from ...quant.types import GGMLType
 from . import qmm
 
 KERNEL_TYPES = {GGMLType.Q4_K, GGMLType.Q8_0, GGMLType.Q4_0,
                 GGMLType.Q6_K, GGMLType.Q5_K}
+
+# integer-MXU (int8×int8→int32) prefill kernels — the reference's mmq/V_DOT
+# analogue (src/ggml-cuda/mmq.cu, quantize.cu). Decode (small M) stays on
+# the f32-expand kernels: it is HBM-bound and the int8 path's extra
+# activation-quantize work buys nothing there.
+INT8_TYPES = {GGMLType.Q4_K, GGMLType.Q8_0, GGMLType.Q4_0}
+INT8_MIN_M = int(os.environ.get("GGML_TPU_INT8_MIN_M", "64"))
 
 
 def matmul(x, qt):
@@ -16,6 +25,16 @@ def matmul(x, qt):
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     f = qt.fields
+    if (qt.qtype in INT8_TYPES and INT8_MIN_M > 0
+            and x2.shape[0] >= INT8_MIN_M):
+        if qt.qtype == GGMLType.Q4_K:
+            out = qmm.qmm_q4_K_i8(x2, f["qs"], f["dsclo"], f["dschi"],
+                                  f["dmlo"], f["dmhi"])
+        elif qt.qtype == GGMLType.Q8_0:
+            out = qmm.qmm_q8_0_i8(x2, f["qs"], f["d"])
+        else:
+            out = qmm.qmm_q4_0_i8(x2, f["qs"], f["d"])
+        return out.reshape(*lead, qt.shape[0])
     if qt.qtype == GGMLType.Q4_K:
         out = qmm.qmm_q4_K(x2, f["qs"], f["dsclo"], f["dschi"],
                            f["dmlo"], f["dmhi"])

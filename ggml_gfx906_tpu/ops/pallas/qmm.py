@@ -227,6 +227,195 @@ def qmm_q4_0(x, qs_k, d_k):
     return _common_call(_q40_kernel, m, n, kt, tm, tn,
                         [xlo, xhi], [128, 128], [qs_k, d_k], [128, 8])
 
+# ---------------------------------------------------------- int8-MXU path
+# The TPU analogue of the reference's integer-dot pipeline: on-the-fly q8
+# activation quantization (src/ggml-cuda/quantize.cu) feeding integer dot
+# products (mmq.cu:275, vecdotq.cuh:590-672, the gfx906 V_DOT delta).
+#
+# MXU shape dictates a different factorization than dp4a: per-32-block
+# integer dots would run the systolic array at 1/4 contraction depth, so
+# instead both operands are requantized to a shared scale per 128-lane
+# tile — activations per (row, tile) outside the kernel, weights in-kernel
+# with the per-block wire scales pre-divided by an analytic per-tile bound
+# (folded into the scale operands, so requantization costs no extra
+# in-kernel multiplies). Each tile then contributes one full-depth
+# int8×int8→int32 MXU dot, and the f32 tile scales apply to the int32
+# partial sums as a rank-1 (row ⊗ column) factor:
+#   out += (qx ⋅ qw^T) · ex[m,t] · dw[n,t]
+# Exactness: the integer dot is exact (verified on hardware); the only new
+# error is the two int8 roundings, bounded by the tile max / 254.
+
+def _round_i8(w):
+    # explicit clamp: Mosaic's f32→i8 cast saturates but XLA (interpret
+    # mode) wraps — clip so both paths agree
+    return jnp.clip(jnp.round(w), -127.0, 127.0).astype(jnp.int8)
+
+
+def _dot_nt_i8(a, b):
+    """(tm, 128) i8 ⋅ (tn, 128) i8 ^T → (tm, tn) i32 (integer MXU)."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+
+
+def quantize_x_tiles(x):
+    """Per-(row, 128-lane-tile) symmetric int8 activation quantization.
+
+    x (M, K) f32 in kernel element order → qx (M, K) int8, ex (M, K/128)
+    f32 scales. XLA-side (fuses with the preceding permute); the kernel
+    consumes both."""
+    m, kdim = x.shape
+    xt = x.reshape(m, kdim // 128, 128).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xt), axis=-1)
+    ex = amax / 127.0
+    inv = jnp.where(amax > 0, 127.0 / jnp.where(amax > 0, amax, 1.0), 0.0)
+    qx = jnp.clip(jnp.round(xt * inv[..., None]), -127.0, 127.0)
+    return qx.astype(jnp.int8).reshape(m, kdim), ex
+
+
+def _tile_fold(dsc, dm, blk_per_tile, qmax):
+    """Fold per-block scales by the analytic per-tile amax bound.
+
+    dsc/dm (N, kt*B) f32 (dm may be None for symmetric formats) →
+    (dsc', dm', dw) with dsc' = dsc/dw per tile, dw (N, kt) = per-tile
+    max|w|/127 where |w| ≤ max(qmax·dsc − dm, dm) per block (q ∈ [0, qmax],
+    scales ≥ 0 by construction — the bound is near-tight because the
+    codecs place the block max at q = qmax)."""
+    n, nb = dsc.shape
+    kt = nb // blk_per_tile
+    d3 = dsc.reshape(n, kt, blk_per_tile)
+    if dm is None:
+        bound = qmax * jnp.abs(d3)
+    else:
+        m3 = dm.reshape(n, kt, blk_per_tile)
+        bound = jnp.maximum(jnp.abs(qmax * d3 - m3), jnp.abs(m3))
+    amax = bound.max(-1)                              # (N, kt)
+    dw = amax / 127.0
+    inv = jnp.where(amax > 0, 127.0 / jnp.where(amax > 0, amax, 1.0), 0.0)
+    dsc_f = (d3 * inv[..., None]).reshape(n, nb)
+    dm_f = None if dm is None else (m3 * inv[..., None]).reshape(n, nb)
+    return dsc_f, dm_f, dw
+
+
+def _q4k_i8_kernel(qxlo_ref, exlo_ref, qxhi_ref, exhi_ref, qs_ref,
+                   dsclo_ref, dschi_ref, dmlo_ref, dmhi_ref,
+                   dwlo_ref, dwhi_ref, out_ref, *, kt: int):
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for i in range(kt):
+        lo, hi = _nibbles(qs_ref[:, i * 128:(i + 1) * 128])
+        s4 = slice(i * 4, (i + 1) * 4)
+        w8lo = _round_i8(lo * pltpu.repeat(dsclo_ref[:, s4], 32, axis=1)
+                         - pltpu.repeat(dmlo_ref[:, s4], 32, axis=1))
+        w8hi = _round_i8(hi * pltpu.repeat(dschi_ref[:, s4], 32, axis=1)
+                         - pltpu.repeat(dmhi_ref[:, s4], 32, axis=1))
+        plo = _dot_nt_i8(qxlo_ref[:, i * 128:(i + 1) * 128], w8lo)
+        phi = _dot_nt_i8(qxhi_ref[:, i * 128:(i + 1) * 128], w8hi)
+        acc += plo.astype(jnp.float32) * exlo_ref[:, i:i + 1] \
+            * dwlo_ref[i:i + 1, :]
+        acc += phi.astype(jnp.float32) * exhi_ref[:, i:i + 1] \
+            * dwhi_ref[i:i + 1, :]
+    out_ref[...] = acc
+
+
+def _qd_i8_kernel(qx_ref, ex_ref, qs_ref, dsc_ref, dw_ref, out_ref, *,
+                  kt: int, nblk: int, blk: int, shift: float):
+    """Symmetric formats (Q8_0 nblk=4, Q4_0 nblk=8 with shift=8)."""
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for i in range(kt):
+        q = qs_ref[:, i * 128:(i + 1) * 128]
+        qf = (q.astype(jnp.int32).astype(jnp.float32) - shift) if shift \
+            else q.astype(jnp.float32)
+        sn = slice(i * nblk, (i + 1) * nblk)
+        w8 = _round_i8(qf * pltpu.repeat(dsc_ref[:, sn], blk, axis=1))
+        p = _dot_nt_i8(qx_ref[:, i * 128:(i + 1) * 128], w8)
+        acc += p.astype(jnp.float32) * ex_ref[:, i:i + 1] * dw_ref[i:i + 1, :]
+    out_ref[...] = acc
+
+
+def _q40_i8_kernel(qxlo_ref, exlo_ref, qxhi_ref, exhi_ref, qs_ref,
+                   dsc_ref, dw_ref, out_ref, *, kt: int):
+    """Q4_0: one packed byte tile yields lo/hi 128-element halves sharing
+    the same 8 blocks' scales (both halves of a 32-block live in one
+    tile pair, so dsc/dw are shared)."""
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for i in range(kt):
+        lo, hi = _nibbles(qs_ref[:, i * 128:(i + 1) * 128])
+        drep = pltpu.repeat(dsc_ref[:, i * 8:(i + 1) * 8], 16, axis=1)
+        w8lo = _round_i8((lo - 8.0) * drep)
+        w8hi = _round_i8((hi - 8.0) * drep)
+        plo = _dot_nt_i8(qxlo_ref[:, i * 128:(i + 1) * 128], w8lo)
+        phi = _dot_nt_i8(qxhi_ref[:, i * 128:(i + 1) * 128], w8hi)
+        scale = dw_ref[i:i + 1, :]
+        acc += plo.astype(jnp.float32) * exlo_ref[:, i:i + 1] * scale
+        acc += phi.astype(jnp.float32) * exhi_ref[:, i:i + 1] * scale
+    out_ref[...] = acc
+
+
+def _i8_call(kernel, m, n, kt, x_inputs, x_lanes, w_inputs, w_lanes,
+             dw_inputs, tm=None, tn=None):
+    """Like _common_call but with (kt, N)-shaped transposed tile-scale
+    operands appended (sliced per-tile inside the kernel as (1, tn) rows)."""
+    if tm is None:
+        tm, tn = _pick_mn(m, n)
+    grid = (_cdiv(m, tm), _cdiv(n, tn))
+    in_specs = (
+        [pl.BlockSpec((tm, kt * ln), lambda i, j: (i, 0)) for ln in x_lanes]
+        + [pl.BlockSpec((tn, kt * ln), lambda i, j: (j, 0)) for ln in w_lanes]
+        + [pl.BlockSpec((kt, tn), lambda i, j: (0, j)) for _ in dw_inputs]
+    )
+    return pl.pallas_call(
+        functools.partial(kernel, kt=kt),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=_interpret(),
+    )(*x_inputs, *w_inputs, *dw_inputs)
+
+
+def qmm_q4_K_i8(x, qs_k, dsclo, dschi, dmlo, dmhi):
+    """Integer-MXU Q4_K matmul (prefill path): x (M, K) f32 → (M, N) f32."""
+    m, kdim = x.shape
+    n = qs_k.shape[0]
+    kt = kdim // 256
+    xlo, xhi = q4k_split_x(x.astype(jnp.float32))
+    qxlo, exlo = quantize_x_tiles(xlo)
+    qxhi, exhi = quantize_x_tiles(xhi)
+    dsclo_f, dmlo_f, dwlo = _tile_fold(dsclo, dmlo, 4, 15.0)
+    dschi_f, dmhi_f, dwhi = _tile_fold(dschi, dmhi, 4, 15.0)
+    return _i8_call(
+        _q4k_i8_kernel, m, n, kt,
+        [qxlo, exlo, qxhi, exhi], [128, 1, 128, 1],
+        [qs_k, dsclo_f, dschi_f, dmlo_f, dmhi_f], [128, 4, 4, 4, 4],
+        [dwlo.T, dwhi.T])
+
+
+def qmm_q8_0_i8(x, qs_k, d_k):
+    m, kdim = x.shape
+    n = qs_k.shape[0]
+    kt = kdim // 128
+    qx, ex = quantize_x_tiles(q8_split_x(x.astype(jnp.float32)))
+    dsc_f, _, dw = _tile_fold(d_k, None, 4, 127.0)
+    return _i8_call(
+        functools.partial(_qd_i8_kernel, nblk=4, blk=32, shift=0.0),
+        m, n, kt, [qx, ex], [128, 1], [qs_k, dsc_f], [128, 4], [dw.T])
+
+
+def qmm_q4_0_i8(x, qs_k, d_k):
+    m, kdim = x.shape
+    n = qs_k.shape[0]
+    kt = kdim // 256
+    xlo, xhi = q40_split_x(x.astype(jnp.float32))
+    qxlo, exlo = quantize_x_tiles(xlo)
+    qxhi, exhi = quantize_x_tiles(xhi)
+    dsc_f, _, dw = _tile_fold(d_k, None, 8, 8.0)
+    return _i8_call(
+        _q40_i8_kernel, m, n, kt,
+        [qxlo, exlo, qxhi, exhi], [128, 1, 128, 1],
+        [qs_k, dsc_f], [128, 8], [dw.T])
+
+
 # ------------------------------------------------- Q6_K / Q5_K (expanded)
 # These superblock formats carry 6/5-bit values with per-16/per-32 scales;
 # round 1 expands them to int8 at load with premultiplied f32 scales

@@ -13,9 +13,12 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 ROPE_TYPE_NORMAL = 0
 ROPE_TYPE_NEOX = 2
+ROPE_TYPE_MROPE = 8    # multimodal (t/h/w/e position streams)
+ROPE_TYPE_VISION = 24  # mrope + per-section theta reset + half-dim pairs
 
 
 def yarn_corr_dims(n_dims: int, n_ctx_orig: int, freq_base: float,
@@ -31,6 +34,33 @@ def yarn_corr_dims(n_dims: int, n_ctx_orig: int, freq_base: float,
     return max(0.0, start), min(n_dims - 1.0, end)
 
 
+def _yarn_cos_sin(theta_extrap, pair_idx, n_dims: int, freq_base: float,
+                  freq_scale: float, ext_factor: float, attn_factor: float,
+                  beta_fast: float, beta_slow: float, n_ctx_orig: int,
+                  freq_factors):
+    """rope_yarn applied to a precomputed extrapolation theta per pair.
+
+    pair_idx: the absolute pair index of each lane (i0/2 in the C kernel —
+    the YaRN correction ramp indexes pairs by head position, even when the
+    theta streams are sectioned as in M-RoPE)."""
+    if freq_factors is not None:
+        theta_extrap = theta_extrap / jnp.asarray(
+            freq_factors, jnp.float32)[pair_idx]
+    theta_interp = freq_scale * theta_extrap
+    mscale = jnp.float32(attn_factor)
+    if ext_factor != 0.0:
+        low, high = yarn_corr_dims(n_dims, n_ctx_orig, freq_base, beta_fast,
+                                   beta_slow)
+        ramp_y = (pair_idx.astype(np.float32) - low) / max(0.001, high - low)
+        ramp = (1.0 - jnp.clip(jnp.asarray(ramp_y, jnp.float32), 0.0, 1.0)) \
+            * ext_factor
+        theta = theta_interp * (1 - ramp) + theta_extrap * ramp
+        mscale = mscale * (1.0 + 0.1 * math.log(1.0 / freq_scale))
+    else:
+        theta = theta_interp
+    return jnp.cos(theta) * mscale, jnp.sin(theta) * mscale
+
+
 def _rope_angles(pos, n_dims: int, freq_base: float, freq_scale: float,
                  ext_factor: float, attn_factor: float, beta_fast: float,
                  beta_slow: float, n_ctx_orig: int, freq_factors):
@@ -39,22 +69,13 @@ def _rope_angles(pos, n_dims: int, freq_base: float, freq_scale: float,
     Mirrors rope_yarn + ggml_rope_cache_init exactly (theta recurrence
     theta *= theta_scale == freq_base^(-2 i/n_dims))."""
     half = n_dims // 2
-    i0 = jnp.arange(half, dtype=jnp.float32) * 2.0
-    theta_scale_pow = jnp.float32(freq_base) ** (-i0 / n_dims)
+    pair_idx = np.arange(half)
+    theta_scale_pow = jnp.float32(freq_base) ** (
+        -2.0 * pair_idx.astype(np.float32) / n_dims)
     theta_extrap = pos.astype(jnp.float32)[..., None] * theta_scale_pow
-    if freq_factors is not None:
-        theta_extrap = theta_extrap / freq_factors.astype(jnp.float32)[: half]
-    theta_interp = freq_scale * theta_extrap
-    mscale = jnp.float32(attn_factor)
-    if ext_factor != 0.0:
-        low, high = yarn_corr_dims(n_dims, n_ctx_orig, freq_base, beta_fast, beta_slow)
-        ramp_y = (i0 / 2.0 - low) / max(0.001, high - low)
-        ramp = (1.0 - jnp.clip(ramp_y, 0.0, 1.0)) * ext_factor
-        theta = theta_interp * (1 - ramp) + theta_extrap * ramp
-        mscale = mscale * (1.0 + 0.1 * math.log(1.0 / freq_scale))
-    else:
-        theta = theta_interp
-    return jnp.cos(theta) * mscale, jnp.sin(theta) * mscale
+    return _yarn_cos_sin(theta_extrap, pair_idx, n_dims, freq_base,
+                         freq_scale, ext_factor, attn_factor, beta_fast,
+                         beta_slow, n_ctx_orig, freq_factors)
 
 
 def rope_ext(
@@ -103,4 +124,69 @@ def rope_ext(
         y0 = x0 * cos - x1 * sin
         y1 = x0 * sin + x1 * cos
         out = jnp.stack([y0, y1], axis=-1).reshape(rot.shape)
+    return jnp.concatenate([out, rest], axis=-1).astype(x.dtype)
+
+
+def rope_multi(
+    x,
+    pos,
+    n_dims: int,
+    sections,
+    mode: int = ROPE_TYPE_MROPE,
+    freq_base: float = 10000.0,
+    freq_scale: float = 1.0,
+    ext_factor: float = 0.0,
+    attn_factor: float = 1.0,
+    beta_fast: float = 32.0,
+    beta_slow: float = 1.0,
+    n_ctx_orig: int = 0,
+    freq_factors=None,
+    forward: bool = True,
+):
+    """Multimodal RoPE — ggml_rope_multi (include/ggml.h:1660; CPU kernel
+    ggml_mrope_cache_init, src/ggml-cpu/ops.cpp:6089-6146).
+
+    x: (..., n_seq, n_head, head_dim); pos (4, n_seq) int32 — the t/h/w/e
+    position streams. sections[4] split the dim pairs cyclically into
+    sectors; each sector's theta uses its stream's position. All four theta
+    streams advance by theta_scale every pair; VISION mode additionally
+    resets a stream at its sector start (indep_sects) and rotates
+    half-split pairs (i, i + n_dims) with n_dims == head_dim//2 covering
+    the whole head."""
+    vision = mode == ROPE_TYPE_VISION
+    head_dim = x.shape[-1]
+    assert pos.shape[0] == 4, pos.shape
+    sections = list(sections)
+    assert len(sections) == 4 and sum(sections[:3]) > 0, sections
+    P = n_dims if vision else n_dims // 2   # number of rotated pairs
+    if vision:
+        assert n_dims == head_dim // 2, (n_dims, head_dim)
+
+    sect_dims = sum(sections)
+    cum = np.cumsum(sections)
+    starts = np.concatenate([[0], cum[:-1]])
+    ic = np.arange(P)
+    sector = ic % sect_dims
+    kind = np.searchsorted(cum, sector, side="right")      # 0..3 per pair
+    # theta exponent: pairs advance theta_scale per step from the stream
+    # base; vision resets the selected stream at each sector start
+    expo = (sector - starts[kind]).astype(np.float32) if vision \
+        else ic.astype(np.float32)
+
+    psel = jnp.asarray(pos)[kind]                 # (P, n_seq) stream select
+    scale_pow = jnp.float32(freq_base) ** (-2.0 * expo / n_dims)
+    theta_extrap = psel.T.astype(jnp.float32) * scale_pow  # (n_seq, P)
+    cos, sin = _yarn_cos_sin(theta_extrap, ic, n_dims, freq_base, freq_scale,
+                             ext_factor, attn_factor, beta_fast, beta_slow,
+                             max(n_ctx_orig or 0, 1), freq_factors)
+    if not forward:
+        sin = -sin
+    cos = cos[..., None, :]   # head axis
+    sin = sin[..., None, :]
+    xf = x.astype(jnp.float32)
+    rot, rest = xf[..., :2 * P], xf[..., 2 * P:]
+    x0, x1 = rot[..., :P], rot[..., P:]
+    y0 = x0 * cos - x1 * sin
+    y1 = x0 * sin + x1 * cos
+    out = jnp.concatenate([y0, y1], axis=-1)
     return jnp.concatenate([out, rest], axis=-1).astype(x.dtype)
