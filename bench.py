@@ -37,16 +37,14 @@ def random_q4k(rng, n, k, device=None):
     sb = k // 256
     scale = 0.02 / 8
     key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
-    ks = jax.random.split(key, 5)
+    ks = jax.random.split(key, 3)
 
     @jax.jit
-    def gen(k0, k1, k2, k3, k4):
+    def gen(k0, k1, k2):
         return {
             "qs": jax.random.randint(k0, (n, sb * 128), 0, 256, jnp.uint8),
-            "dsclo": jax.random.uniform(k1, (n, sb * 4)) * scale,
-            "dschi": jax.random.uniform(k2, (n, sb * 4)) * scale,
-            "dmlo": jax.random.uniform(k3, (n, sb * 4)) * scale * 8,
-            "dmhi": jax.random.uniform(k4, (n, sb * 4)) * scale * 8,
+            "scm": jax.random.randint(k1, (n, sb * 16), 0, 64, jnp.uint8),
+            "dd": jax.random.uniform(k2, (n, sb * 2)) * scale,
         }
 
     return QuantTensor(GGMLType.Q4_K, (n, k), gen(*ks), "kernel")

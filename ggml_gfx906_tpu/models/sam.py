@@ -367,3 +367,44 @@ def from_hf(state_dict, n_layer: int = 12) -> tuple[SamConfig, dict]:
     fin["ln_b"] = t("mask_decoder.transformer.layer_norm_final_attn.bias")
     dec["final"] = fin
     return cfg, {"enc": enc, "pe": pe, "dec": dec}
+
+
+# ------------------------------------------------------------ GGUF round-trip
+
+def save_gguf(path, cfg: SamConfig, params: dict):
+    """Serialize SAM to GGUF (generic dotted-path tensor naming,
+    gguf/pytree.py — the counterpart of the reference's
+    examples/sam/convert-pth-to-ggml.py conversion output)."""
+    from ..gguf.pytree import save_pytree
+
+    kv = {
+        "general.architecture": "sam",
+        "sam.n_enc_state": cfg.n_enc_state,
+        "sam.n_enc_layer": cfg.n_enc_layer,
+        "sam.n_enc_head": cfg.n_enc_head,
+        "sam.n_img_size": cfg.n_img_size,
+        "sam.n_patch": cfg.n_patch,
+        "sam.n_embed": cfg.n_embed,
+    }
+    from ..gguf.format import GGUFValueType
+
+    # ln_eps as FLOAT64: a FLOAT32 kv would not round-trip the Python float
+    kv["sam.ln_eps"] = cfg.ln_eps
+    save_pytree(path, params, kv,
+                vtypes={"sam.ln_eps": GGUFValueType.FLOAT64})
+
+
+def load_gguf(path) -> tuple[SamConfig, dict]:
+    from ..gguf.pytree import load_pytree
+
+    params, kv = load_pytree(path)
+    cfg = SamConfig(
+        n_enc_state=int(kv["sam.n_enc_state"]),
+        n_enc_layer=int(kv["sam.n_enc_layer"]),
+        n_enc_head=int(kv["sam.n_enc_head"]),
+        n_img_size=int(kv["sam.n_img_size"]),
+        n_patch=int(kv["sam.n_patch"]),
+        n_embed=int(kv["sam.n_embed"]),
+        ln_eps=float(kv["sam.ln_eps"]),
+    )
+    return cfg, params

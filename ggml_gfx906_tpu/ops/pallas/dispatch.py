@@ -7,7 +7,8 @@ from ...quant.types import GGMLType
 from . import qmm
 
 KERNEL_TYPES = {GGMLType.Q4_K, GGMLType.Q8_0, GGMLType.Q4_0,
-                GGMLType.Q6_K, GGMLType.Q5_K}
+                GGMLType.Q6_K, GGMLType.Q5_K, GGMLType.Q4_1,
+                GGMLType.Q5_0, GGMLType.Q5_1}
 
 # integer-MXU (int8×int8→int32) prefill kernels — the reference's mmq/V_DOT
 # analogue (src/ggml-cuda/mmq.cu, quantize.cu). Decode (small M) stays on
@@ -28,24 +29,29 @@ def matmul(x, qt):
     if (qt.qtype in INT8_TYPES and INT8_MIN_M > 0
             and x2.shape[0] >= INT8_MIN_M):
         if qt.qtype == GGMLType.Q4_K:
-            out = qmm.qmm_q4_K_i8(x2, f["qs"], f["dsclo"], f["dschi"],
-                                  f["dmlo"], f["dmhi"])
+            out = qmm.qmm_q4_K_i8(x2, f["qs"], f["scm"], f["dd"])
         elif qt.qtype == GGMLType.Q8_0:
             out = qmm.qmm_q8_0_i8(x2, f["qs"], f["d"])
         else:
             out = qmm.qmm_q4_0_i8(x2, f["qs"], f["d"])
         return out.reshape(*lead, qt.shape[0])
     if qt.qtype == GGMLType.Q4_K:
-        out = qmm.qmm_q4_K(x2, f["qs"], f["dsclo"], f["dschi"],
-                           f["dmlo"], f["dmhi"])
+        out = qmm.qmm_q4_K(x2, f["qs"], f["scm"], f["dd"])
     elif qt.qtype == GGMLType.Q8_0:
         out = qmm.qmm_q8_0(x2, f["qs"], f["d"])
     elif qt.qtype == GGMLType.Q4_0:
         out = qmm.qmm_q4_0(x2, f["qs"], f["d"])
     elif qt.qtype == GGMLType.Q6_K:
-        out = qmm.qmm_q6_K(x2, f["qs"], f["dsc"])
+        out = qmm.qmm_q6_K(x2, f["ql"], f["qh"], f["sc"], f["dq"])
     elif qt.qtype == GGMLType.Q5_K:
-        out = qmm.qmm_q5_K(x2, f["qs"], f["dsc"], f["dm"])
+        out = qmm.qmm_q5_K(x2, f["ql"], f["qh"], f["scm"], f["d"],
+                           f["dmin"])
+    elif qt.qtype == GGMLType.Q4_1:
+        out = qmm.qmm_q4_1(x2, f["qs"], f["d"], f["m"])
+    elif qt.qtype == GGMLType.Q5_0:
+        out = qmm.qmm_q5_0(x2, f["qs"], f["qh"], f["d"])
+    elif qt.qtype == GGMLType.Q5_1:
+        out = qmm.qmm_q5_1(x2, f["qs"], f["qh"], f["d"], f["m"])
     else:
         raise KeyError(qt.qtype)
     return out.reshape(*lead, qt.shape[0])

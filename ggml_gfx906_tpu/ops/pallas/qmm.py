@@ -49,9 +49,15 @@ def _nibbles(q_u8):
 
 
 def _dot_nt(a, b):
-    """(tm, 128) ⋅ (tn, 128)^T → (tm, tn)."""
+    """(tm, 128) ⋅ (tn, 128)^T → (tm, tn).
+
+    HIGHEST precision: Mosaic's default f32 matmul truncates inputs to
+    bf16 (measured NMSE ~5e-6 on hardware vs exact); the f32-expand
+    kernels serve decode, which is HBM-bound, so the 3-pass exact dot is
+    free there and keeps hardware bit-comparable with interpret mode."""
     return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
 
 def _pick_mn(m, n):
@@ -86,18 +92,27 @@ def _common_call(kernel, m, n, kt, tm, tn, x_inputs, x_lanes, w_inputs,
 #   byte lane l = 4*j + g  (g = 64-element group 0..3, j = byte 0..31)
 #   lo nibble → element 256*sb + 64*g + j      (sub-block 2g)
 #   hi nibble → element 256*sb + 64*g + 32 + j (sub-block 2g+1)
-# scales: 4 f32 per superblock per field, flattened (N, Sb*4)
+# scales stream at wire density: scm (N, Sb*16) u8 holds the unpacked
+# 6-bit [sc_even(4) | sc_odd(4) | mm_even(4) | mm_odd(4)] per superblock and
+# dd (N, Sb*2) f32 the [d, dmin] pair; the d·sc f32 products are formed
+# in-kernel (identical f32 multiply → results stay bit-exact vs the C
+# reference). 152 bytes per superblock = 4.75 bpw streamed vs 6 bpw with
+# premultiplied f32 scale arrays — decode is HBM-bound, so this is a
+# direct tok/s win.
 
-def _q4k_kernel(xlo_ref, xhi_ref, qs_ref, dsclo_ref, dschi_ref,
-                dmlo_ref, dmhi_ref, out_ref, *, kt: int):
+def _q4k_kernel(xlo_ref, xhi_ref, qs_ref, scm_ref, dd_ref, out_ref, *,
+                kt: int):
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for i in range(kt):
         lo, hi = _nibbles(qs_ref[:, i * 128:(i + 1) * 128])
-        s4 = slice(i * 4, (i + 1) * 4)
-        wlo = lo * pltpu.repeat(dsclo_ref[:, s4], 32, axis=1) \
-            - pltpu.repeat(dmlo_ref[:, s4], 32, axis=1)
-        whi = hi * pltpu.repeat(dschi_ref[:, s4], 32, axis=1) \
-            - pltpu.repeat(dmhi_ref[:, s4], 32, axis=1)
+        s = scm_ref[:, i * 16:(i + 1) * 16].astype(jnp.int32) \
+            .astype(jnp.float32)
+        d = dd_ref[:, 2 * i:2 * i + 1]
+        dm = dd_ref[:, 2 * i + 1:2 * i + 2]
+        wlo = lo * pltpu.repeat(s[:, 0:4] * d, 32, axis=1) \
+            - pltpu.repeat(s[:, 8:12] * dm, 32, axis=1)
+        whi = hi * pltpu.repeat(s[:, 4:8] * d, 32, axis=1) \
+            - pltpu.repeat(s[:, 12:16] * dm, 32, axis=1)
         acc += _dot_nt(xlo_ref[:, i * 128:(i + 1) * 128], wlo)
         acc += _dot_nt(xhi_ref[:, i * 128:(i + 1) * 128], whi)
     out_ref[...] = acc
@@ -107,16 +122,35 @@ def q4k_weight_layout(qs, d, dmin, sc, mm):
     """Wire fields → kernel operands (all 2-D, lane-dense).
 
     qs (N, Sb, 128) u8 → lane-interleaved (N, Sb*128);
-    dsc_lo/hi = d*sc[even/odd], dm_lo/hi = dmin*mm[even/odd], (N, Sb*4) f32."""
+    scm (N, Sb*16) u8 = [sc_even, sc_odd, mm_even, mm_odd] per superblock;
+    dd (N, Sb*2) f32 = [d, dmin] per superblock."""
+    import numpy as _np
+
     n, sb, _ = qs.shape
     qs_k = qs.reshape(n, sb, 4, 32).transpose(0, 1, 3, 2).reshape(n, sb * 128)
-    d32 = d.astype(jnp.float32)[..., None]
-    m32 = dmin.astype(jnp.float32)[..., None]
-    scf = sc.astype(jnp.float32)
-    mmf = mm.astype(jnp.float32)
+    scm = _np.concatenate(
+        [sc[..., 0::2], sc[..., 1::2], mm[..., 0::2], mm[..., 1::2]],
+        axis=-1).astype(_np.uint8).reshape(n, sb * 16)
+    dd = _np.stack([_np.asarray(d, _np.float32),
+                    _np.asarray(dmin, _np.float32)],
+                   axis=-1).reshape(n, sb * 2)
+    return qs_k, scm, dd
+
+
+def q4k_scale_arrays(scm, dd):
+    """Expand the packed scale fields back to the four premultiplied f32
+    (N, Sb*4) arrays (dsclo, dschi, dmlo, dmhi) — XLA-side, used by the
+    int8 prefill path's tile-bound folding and by dequantization."""
+    n = scm.shape[0]
+    sb = scm.shape[1] // 16
+    s = scm.reshape(n, sb, 4, 4).astype(jnp.float32)
+    d = dd.reshape(n, sb, 2)
+    dsclo = s[:, :, 0] * d[:, :, 0:1]
+    dschi = s[:, :, 1] * d[:, :, 0:1]
+    dmlo = s[:, :, 2] * d[:, :, 1:2]
+    dmhi = s[:, :, 3] * d[:, :, 1:2]
     r = lambda a: a.reshape(n, sb * 4)
-    return (qs_k, r(d32 * scf[..., 0::2]), r(d32 * scf[..., 1::2]),
-            r(m32 * mmf[..., 0::2]), r(m32 * mmf[..., 1::2]))
+    return r(dsclo), r(dschi), r(dmlo), r(dmhi)
 
 
 def q4k_split_x(x):
@@ -128,7 +162,7 @@ def q4k_split_x(x):
     return xlo, xhi
 
 
-def qmm_q4_K(x, qs_k, dsclo, dschi, dmlo, dmhi):
+def qmm_q4_K(x, qs_k, scm, dd):
     """x (M, K) @ W(N, K).T, W in Q4_K kernel layout → (M, N) f32."""
     m, kdim = x.shape
     n = qs_k.shape[0]
@@ -138,8 +172,8 @@ def qmm_q4_K(x, qs_k, dsclo, dschi, dmlo, dmhi):
     tm, tn = _pick_mn(m, n)
     return _common_call(_q4k_kernel, m, n, kt, tm, tn,
                         [xlo, xhi], [128, 128],
-                        [qs_k, dsclo, dschi, dmlo, dmhi],
-                        [128, 4, 4, 4, 4])
+                        [qs_k, scm, dd],
+                        [128, 16, 2])
 
 
 # ---------------------------------------------------------------- Q8_0
@@ -298,17 +332,25 @@ def _tile_fold(dsc, dm, blk_per_tile, qmax):
 
 def _q4k_i8_kernel(qxlo_ref, exlo_ref, qxhi_ref, exhi_ref, qs_ref,
                    dsclo_ref, dschi_ref, dmlo_ref, dmhi_ref,
-                   dwlo_ref, dwhi_ref, out_ref, *, kt: int):
+                   dwlo_ref, dwhi_ref, out_ref, wlo_ref, whi_ref, *,
+                   kt: int):
+    @pl.when(pl.program_id(1) == 0)
+    def _expand():
+        for i in range(kt):
+            lo, hi = _nibbles(qs_ref[:, i * 128:(i + 1) * 128])
+            s4 = slice(i * 4, (i + 1) * 4)
+            wlo_ref[:, i * 128:(i + 1) * 128] = _round_i8(
+                lo * pltpu.repeat(dsclo_ref[:, s4], 32, axis=1)
+                - pltpu.repeat(dmlo_ref[:, s4], 32, axis=1))
+            whi_ref[:, i * 128:(i + 1) * 128] = _round_i8(
+                hi * pltpu.repeat(dschi_ref[:, s4], 32, axis=1)
+                - pltpu.repeat(dmhi_ref[:, s4], 32, axis=1))
+
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for i in range(kt):
-        lo, hi = _nibbles(qs_ref[:, i * 128:(i + 1) * 128])
-        s4 = slice(i * 4, (i + 1) * 4)
-        w8lo = _round_i8(lo * pltpu.repeat(dsclo_ref[:, s4], 32, axis=1)
-                         - pltpu.repeat(dmlo_ref[:, s4], 32, axis=1))
-        w8hi = _round_i8(hi * pltpu.repeat(dschi_ref[:, s4], 32, axis=1)
-                         - pltpu.repeat(dmhi_ref[:, s4], 32, axis=1))
-        plo = _dot_nt_i8(qxlo_ref[:, i * 128:(i + 1) * 128], w8lo)
-        phi = _dot_nt_i8(qxhi_ref[:, i * 128:(i + 1) * 128], w8hi)
+        s = slice(i * 128, (i + 1) * 128)
+        plo = _dot_nt_i8(qxlo_ref[:, s], wlo_ref[:, s])
+        phi = _dot_nt_i8(qxhi_ref[:, s], whi_ref[:, s])
         acc += plo.astype(jnp.float32) * exlo_ref[:, i:i + 1] \
             * dwlo_ref[i:i + 1, :]
         acc += phi.astype(jnp.float32) * exhi_ref[:, i:i + 1] \
@@ -316,34 +358,45 @@ def _q4k_i8_kernel(qxlo_ref, exlo_ref, qxhi_ref, exhi_ref, qs_ref,
     out_ref[...] = acc
 
 
-def _qd_i8_kernel(qx_ref, ex_ref, qs_ref, dsc_ref, dw_ref, out_ref, *,
-                  kt: int, nblk: int, blk: int, shift: float):
+def _qd_i8_kernel(qx_ref, ex_ref, qs_ref, dsc_ref, dw_ref, out_ref, w8_ref,
+                  *, kt: int, nblk: int, blk: int, shift: float):
     """Symmetric formats (Q8_0 nblk=4, Q4_0 nblk=8 with shift=8)."""
+    @pl.when(pl.program_id(1) == 0)
+    def _expand():
+        for i in range(kt):
+            q = qs_ref[:, i * 128:(i + 1) * 128]
+            qf = (q.astype(jnp.int32).astype(jnp.float32) - shift) if shift \
+                else q.astype(jnp.float32)
+            sn = slice(i * nblk, (i + 1) * nblk)
+            w8_ref[:, i * 128:(i + 1) * 128] = _round_i8(
+                qf * pltpu.repeat(dsc_ref[:, sn], blk, axis=1))
+
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for i in range(kt):
-        q = qs_ref[:, i * 128:(i + 1) * 128]
-        qf = (q.astype(jnp.int32).astype(jnp.float32) - shift) if shift \
-            else q.astype(jnp.float32)
-        sn = slice(i * nblk, (i + 1) * nblk)
-        w8 = _round_i8(qf * pltpu.repeat(dsc_ref[:, sn], blk, axis=1))
-        p = _dot_nt_i8(qx_ref[:, i * 128:(i + 1) * 128], w8)
+        s = slice(i * 128, (i + 1) * 128)
+        p = _dot_nt_i8(qx_ref[:, s], w8_ref[:, s])
         acc += p.astype(jnp.float32) * ex_ref[:, i:i + 1] * dw_ref[i:i + 1, :]
     out_ref[...] = acc
 
 
 def _q40_i8_kernel(qxlo_ref, exlo_ref, qxhi_ref, exhi_ref, qs_ref,
-                   dsc_ref, dw_ref, out_ref, *, kt: int):
+                   dsc_ref, dw_ref, out_ref, wlo_ref, whi_ref, *, kt: int):
     """Q4_0: one packed byte tile yields lo/hi 128-element halves sharing
     the same 8 blocks' scales (both halves of a 32-block live in one
     tile pair, so dsc/dw are shared)."""
+    @pl.when(pl.program_id(1) == 0)
+    def _expand():
+        for i in range(kt):
+            lo, hi = _nibbles(qs_ref[:, i * 128:(i + 1) * 128])
+            drep = pltpu.repeat(dsc_ref[:, i * 8:(i + 1) * 8], 16, axis=1)
+            wlo_ref[:, i * 128:(i + 1) * 128] = _round_i8((lo - 8.0) * drep)
+            whi_ref[:, i * 128:(i + 1) * 128] = _round_i8((hi - 8.0) * drep)
+
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for i in range(kt):
-        lo, hi = _nibbles(qs_ref[:, i * 128:(i + 1) * 128])
-        drep = pltpu.repeat(dsc_ref[:, i * 8:(i + 1) * 8], 16, axis=1)
-        w8lo = _round_i8((lo - 8.0) * drep)
-        w8hi = _round_i8((hi - 8.0) * drep)
-        plo = _dot_nt_i8(qxlo_ref[:, i * 128:(i + 1) * 128], w8lo)
-        phi = _dot_nt_i8(qxhi_ref[:, i * 128:(i + 1) * 128], w8hi)
+        s = slice(i * 128, (i + 1) * 128)
+        plo = _dot_nt_i8(qxlo_ref[:, s], wlo_ref[:, s])
+        phi = _dot_nt_i8(qxhi_ref[:, s], whi_ref[:, s])
         scale = dw_ref[i:i + 1, :]
         acc += plo.astype(jnp.float32) * exlo_ref[:, i:i + 1] * scale
         acc += phi.astype(jnp.float32) * exhi_ref[:, i:i + 1] * scale
@@ -351,34 +404,44 @@ def _q40_i8_kernel(qxlo_ref, exlo_ref, qxhi_ref, exhi_ref, qs_ref,
 
 
 def _i8_call(kernel, m, n, kt, x_inputs, x_lanes, w_inputs, w_lanes,
-             dw_inputs, tm=None, tn=None):
-    """Like _common_call but with (kt, N)-shaped transposed tile-scale
-    operands appended (sliced per-tile inside the kernel as (1, tn) rows)."""
+             dw_inputs, n_scratch, tm=None, tn=None):
+    """GEMM-shaped launcher for the integer kernels.
+
+    Grid is (N-tiles, M-tiles) with M fastest, so the requantized int8
+    weight tile lives in VMEM scratch and is expanded ONCE per N-tile
+    (at m-index 0) instead of once per grid cell — at M=512 the expansion
+    VPU work would otherwise dominate the whole matmul 8:1. "arbitrary"
+    dimension semantics pin the row-major traversal the scratch reuse
+    depends on. Transposed (kt, N) tile-scale operands are appended and
+    sliced per-tile inside the kernel as (1, tn) rows."""
     if tm is None:
         tm, tn = _pick_mn(m, n)
-    grid = (_cdiv(m, tm), _cdiv(n, tn))
+    grid = (_cdiv(n, tn), _cdiv(m, tm))
     in_specs = (
-        [pl.BlockSpec((tm, kt * ln), lambda i, j: (i, 0)) for ln in x_lanes]
-        + [pl.BlockSpec((tn, kt * ln), lambda i, j: (j, 0)) for ln in w_lanes]
-        + [pl.BlockSpec((kt, tn), lambda i, j: (0, j)) for _ in dw_inputs]
+        [pl.BlockSpec((tm, kt * ln), lambda j, i: (i, 0)) for ln in x_lanes]
+        + [pl.BlockSpec((tn, kt * ln), lambda j, i: (j, 0)) for ln in w_lanes]
+        + [pl.BlockSpec((kt, tn), lambda j, i: (0, j)) for _ in dw_inputs]
     )
     return pl.pallas_call(
         functools.partial(kernel, kt=kt),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j)),
+        out_specs=pl.BlockSpec((tm, tn), lambda j, i: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tn, kt * 128), jnp.int8)
+                        for _ in range(n_scratch)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=_interpret(),
     )(*x_inputs, *w_inputs, *dw_inputs)
 
 
-def qmm_q4_K_i8(x, qs_k, dsclo, dschi, dmlo, dmhi):
+def qmm_q4_K_i8(x, qs_k, scm, dd):
     """Integer-MXU Q4_K matmul (prefill path): x (M, K) f32 → (M, N) f32."""
     m, kdim = x.shape
     n = qs_k.shape[0]
     kt = kdim // 256
+    dsclo, dschi, dmlo, dmhi = q4k_scale_arrays(scm, dd)
     xlo, xhi = q4k_split_x(x.astype(jnp.float32))
     qxlo, exlo = quantize_x_tiles(xlo)
     qxhi, exhi = quantize_x_tiles(xhi)
@@ -388,7 +451,7 @@ def qmm_q4_K_i8(x, qs_k, dsclo, dschi, dmlo, dmhi):
         _q4k_i8_kernel, m, n, kt,
         [qxlo, exlo, qxhi, exhi], [128, 1, 128, 1],
         [qs_k, dsclo_f, dschi_f, dmlo_f, dmhi_f], [128, 4, 4, 4, 4],
-        [dwlo.T, dwhi.T])
+        [dwlo.T, dwhi.T], n_scratch=2)
 
 
 def qmm_q8_0_i8(x, qs_k, d_k):
@@ -399,7 +462,8 @@ def qmm_q8_0_i8(x, qs_k, d_k):
     dsc_f, _, dw = _tile_fold(d_k, None, 4, 127.0)
     return _i8_call(
         functools.partial(_qd_i8_kernel, nblk=4, blk=32, shift=0.0),
-        m, n, kt, [qx, ex], [128, 1], [qs_k, dsc_f], [128, 4], [dw.T])
+        m, n, kt, [qx, ex], [128, 1], [qs_k, dsc_f], [128, 4], [dw.T],
+        n_scratch=1)
 
 
 def qmm_q4_0_i8(x, qs_k, d_k):
@@ -413,81 +477,326 @@ def qmm_q4_0_i8(x, qs_k, d_k):
     return _i8_call(
         _q40_i8_kernel, m, n, kt,
         [qxlo, exlo, qxhi, exhi], [128, 1, 128, 1],
-        [qs_k, dsc_f], [128, 8], [dw.T])
+        [qs_k, dsc_f], [128, 8], [dw.T], n_scratch=2)
 
 
-# ------------------------------------------------- Q6_K / Q5_K (expanded)
-# These superblock formats carry 6/5-bit values with per-16/per-32 scales;
-# round 1 expands them to int8 at load with premultiplied f32 scales
-# (10 effective bpw vs 6.56/5.5 wire — they typically cover only one or two
-# tensors per model, e.g. output.weight in Q4_K_M files; fully packed
-# kernels are a planned optimization). Lane order: element lane
-# l = G*j + b (b = block 0..G-1, j = element within block), so scales
-# expand with one pltpu.repeat.
+# ------------------------------------------------- Q6_K / Q5_K (packed)
+# Wire-density kernels: values stream as packed nibbles + packed high-bit
+# planes, scales as wire-width integers with the f32 d (and dmin) applied
+# in-kernel — 7.0 / 5.75 effective bpw streamed (wire 6.56 / 5.5), vs the
+# 10 bpw of round 1's expanded-int8 layout. The unit of work is a CHUNK of
+# superblocks sized so the high-bit plane fills one 128-byte lane tile
+# (Q6_K: 2 superblocks @ 2 bits/elem; Q5_K: 4 @ 1 bit/elem); superblock
+# counts are zero-padded up to the chunk multiple (zero scales → zero
+# contribution, x is zero-padded to match).
+# ref formats: src/ggml-common.h block_q6_K / block_q5_K; scalar dequant
+# src/ggml-quants.c dequantize_row_q6_K / q5_K.
 
-def _q8s_kernel(x_ref, qs_ref, dsc_ref, dm_ref, out_ref, *, kt: int,
-                nblk: int, blk: int, affine: bool):
+def _widen(q):
+    return q.astype(jnp.int32)
+
+
+def _pad_blocks(n, arrs, nb, mult):
+    """Zero-pad the superblock axis (axis 1) of (N, nb, ...) arrays to a
+    multiple of `mult`."""
+    import numpy as _np
+
+    nbp = _cdiv(nb, mult) * mult
+    if nbp == nb:
+        return [_np.ascontiguousarray(a) for a in arrs], nb
+    out = []
+    for a in arrs:
+        pad = _np.zeros((n, nbp - nb) + a.shape[2:], a.dtype)
+        out.append(_np.ascontiguousarray(_np.concatenate([a, pad], axis=1)))
+    return out, nbp
+
+
+def _pad_x_lanes(x, kp):
+    if x.shape[1] == kp:
+        return x
+    return jnp.pad(x, ((0, 0), (0, kp - x.shape[1])))
+
+
+# Q6_K chunk = 2 superblocks = 512 elements = 4 element-tiles:
+#   t0 = q1 (ql tile A lo nibble), t1 = q2 (tile B lo),
+#   t2 = q3 (tile A hi),           t3 = q4 (tile B hi)
+# element-tile lane = 8j + b with b = sb_loc*4 + h*2 + s
+#   (h = 128-half of the superblock, s = 16-group, j = 0..15)
+# qh lane = same (b, j) → the four 2-bit planes (shifts 0/2/4/6) align with
+# t0..t3 at the same lane. val = (nib | bits<<4) - 32, w = val * (sc · d).
+
+def _q6k_kernel(x_ref, ql_ref, qh_ref, sc_ref, dq_ref, out_ref, *, kt: int):
     acc = jnp.zeros(out_ref.shape, jnp.float32)
-    for i in range(kt):
-        q = qs_ref[:, i * 128:(i + 1) * 128].astype(jnp.float32)
-        dsc = pltpu.repeat(dsc_ref[:, i * nblk:(i + 1) * nblk], blk, axis=1)
-        w = q * dsc
-        if affine:
-            w = w - pltpu.repeat(dm_ref[:, i * nblk:(i + 1) * nblk], blk, axis=1)
-        acc += _dot_nt(x_ref[:, i * 128:(i + 1) * 128], w)
+    for c in range(kt):
+        hb = _widen(qh_ref[:, c * 128:(c + 1) * 128])
+        qA = _widen(ql_ref[:, (2 * c) * 128:(2 * c + 1) * 128])
+        qB = _widen(ql_ref[:, (2 * c + 1) * 128:(2 * c + 2) * 128])
+        d8 = dq_ref[:, c * 8:(c + 1) * 8]
+        sc32 = _widen(sc_ref[:, c * 32:(c + 1) * 32]).astype(jnp.float32)
+        for t, (nib, sh) in enumerate(((qA & 0xF, 0), (qB & 0xF, 2),
+                                       (qA >> 4, 4), (qB >> 4, 6))):
+            val = (nib | (((hb >> sh) & 3) << 4)) - 32
+            dsc = pltpu.repeat(sc32[:, t * 8:(t + 1) * 8] * d8, 16, axis=1)
+            acc += _dot_nt(
+                x_ref[:, c * 512 + t * 128:c * 512 + (t + 1) * 128],
+                val.astype(jnp.float32) * dsc)
     out_ref[...] = acc
 
 
-def _interleave(a, g, b):
-    """(M, K) → (M, K) with per-128 lane order l = g*j + blockidx."""
-    m, kdim = a.shape
-    return a.reshape(m, kdim // 128, g, b).transpose(0, 1, 3, 2).reshape(m, kdim)
+def q6k_weight_layout(ql, qh, scales, d):
+    """Wire fields (N, nb, 128) u8 ql, (N, nb, 64) u8 qh, (N, nb, 16) i8
+    scales, (N, nb) f16/f32 d → chunked kernel operands (ql_k, qh_k, sc_k,
+    dq) with nb zero-padded to even."""
+    import numpy as _np
+
+    n, nb = ql.shape[:2]
+    (ql, qh, scales, d), nbp = _pad_blocks(
+        n, [ql, qh, scales, _np.asarray(d, _np.float32)], nb, 2)
+    ch = nbp // 2
+    # ql wire byte = h*64 + k*32 + s*16 + j → (chunk, k, j, sb, h, s)
+    qlr = ql.reshape(n, ch, 2, 2, 2, 2, 16)        # (c, sb, h, k, s, j)
+    ql_k = qlr.transpose(0, 1, 4, 6, 2, 3, 5).reshape(n, nbp * 128)
+    # qh wire byte = h*32 + s*16 + j → (chunk, j, sb, h, s)
+    qhr = qh.reshape(n, ch, 2, 2, 2, 16)           # (c, sb, h, s, j)
+    qh_k = qhr.transpose(0, 1, 5, 2, 3, 4).reshape(n, ch * 128)
+    # scales wire idx = h*8 + q*2 + s → (chunk, q, sb, h, s)
+    scr = scales.reshape(n, ch, 2, 2, 4, 2)        # (c, sb, h, q, s)
+    sc_k = scr.transpose(0, 1, 4, 2, 3, 5).reshape(n, nbp * 16)
+    dq = _np.repeat(d, 4, axis=1)                  # (n, nbp*4)
+    return ql_k, qh_k, sc_k, dq
 
 
-def q6k_weight_layout(q_i8, dsc):
-    """q_i8 (N, K) int8 signed values (already -32 shifted), dsc (N, K/16)
-    f32 premultiplied d*scale per 16 elements."""
-    n, kdim = q_i8.shape
-    qs_k = _interleave(q_i8, 8, 16)
-    return qs_k, dsc.reshape(n, kdim // 16)
+def q6k_split_x(x):
+    """x (M, K) → (M, Kp) in Q6_K kernel element order (zero-padded to
+    whole chunks)."""
+    m, kdim = x.shape
+    kp = _cdiv(kdim, 512) * 512
+    xp = _pad_x_lanes(x.astype(jnp.float32), kp)
+    xr = xp.reshape(m, kp // 512, 2, 2, 4, 2, 16)  # (c, sb, h, q, s, j)
+    return jnp.transpose(xr, (0, 1, 4, 6, 2, 3, 5)).reshape(m, kp)
 
 
-def q5k_weight_layout(q_u8, dsc, dm):
-    """q_u8 (N, K) unsigned 5-bit values, per-32 affine scales (N, K/32)."""
-    n, kdim = q_u8.shape
-    qs_k = _interleave(q_u8.astype(jnp.int8) if hasattr(q_u8, "astype") else q_u8, 4, 32)
-    return qs_k, dsc.reshape(n, kdim // 32), dm.reshape(n, kdim // 32)
+def qmm_q6_K(x, ql_k, qh_k, sc_k, dq):
+    m = x.shape[0]
+    n = ql_k.shape[0]
+    kt = ql_k.shape[1] // 256                      # chunks
+    xk = q6k_split_x(x)
+    assert xk.shape[1] == kt * 512, (x.shape, ql_k.shape)
+    tm, tn = _pick_mn(m, n)
+    return _common_call(_q6k_kernel, m, n, kt, tm, tn,
+                        [xk], [512],
+                        [ql_k, qh_k, sc_k, dq], [256, 128, 32, 8])
 
 
-def _qmm_expanded(x, qs_k, dsc, dm, nblk, blk, affine):
+# Q5_K chunk = 4 superblocks = 1024 elements = 8 element-tiles (g, h):
+#   byte-tile g: lo nibble = (g, h=0), hi = (g, h=1)
+# element-tile lane = 4j + s (s = sb_loc 0..3, j = 0..31)
+# qh lane = same (s, j) → bit plane shift 2g+h aligns at the same lane.
+# q = nib | bit<<4; w = q·(sc·d) − (m·dmin).
+
+def _q5k_kernel(x_ref, ql_ref, qh_ref, scm_ref, d_ref, dm_ref, out_ref, *,
+                kt: int):
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for c in range(kt):
+        hb = _widen(qh_ref[:, c * 128:(c + 1) * 128])
+        sm = _widen(scm_ref[:, c * 64:(c + 1) * 64]).astype(jnp.float32)
+        d4 = d_ref[:, c * 4:(c + 1) * 4]
+        m4 = dm_ref[:, c * 4:(c + 1) * 4]
+        for g in range(4):
+            qt = _widen(ql_ref[:, (4 * c + g) * 128:(4 * c + g + 1) * 128])
+            for h, nib in ((0, qt & 0xF), (1, qt >> 4)):
+                t = g * 2 + h
+                q = nib | (((hb >> t) & 1) << 4)
+                dsc = pltpu.repeat(sm[:, t * 4:(t + 1) * 4] * d4, 32, axis=1)
+                dmm = pltpu.repeat(sm[:, 32 + t * 4:32 + (t + 1) * 4] * m4,
+                                   32, axis=1)
+                acc += _dot_nt(
+                    x_ref[:, c * 1024 + t * 128:c * 1024 + (t + 1) * 128],
+                    q.astype(jnp.float32) * dsc - dmm)
+    out_ref[...] = acc
+
+
+def q5k_weight_layout(qs, qh, sc, mm, d, dmin):
+    """Wire fields (N, nb, 128) u8 qs, (N, nb, 32) u8 qh, (N, nb, 8) sc/mm
+    (unpacked 6-bit), (N, nb) d/dmin → chunked kernel operands with nb
+    zero-padded to a multiple of 4."""
+    import numpy as _np
+
+    n, nb = qs.shape[:2]
+    (qs, qh, sc, mm, d, dmin), nbp = _pad_blocks(
+        n, [qs, qh, _np.asarray(sc, _np.uint8), _np.asarray(mm, _np.uint8),
+            _np.asarray(d, _np.float32), _np.asarray(dmin, _np.float32)],
+        nb, 4)
+    ch = nbp // 4
+    # ql wire byte = g*32 + j → (chunk, g, j, sb)
+    qlr = qs.reshape(n, ch, 4, 4, 32)              # (c, sb, g, j)
+    ql_k = qlr.transpose(0, 1, 3, 4, 2).reshape(n, nbp * 128)
+    # qh wire byte = j → (chunk, j, sb)
+    qhr = qh.reshape(n, ch, 4, 32)                 # (c, sb, j)
+    qh_k = qhr.transpose(0, 1, 3, 2).reshape(n, nbp * 32)
+    # scales wire idx = 2g+h → per chunk [sc(32) | m(32)], each (t, sb)
+    scr = sc.reshape(n, ch, 4, 8).transpose(0, 1, 3, 2)   # (c, t, sb)
+    mmr = mm.reshape(n, ch, 4, 8).transpose(0, 1, 3, 2)
+    scm = _np.concatenate(
+        [scr.reshape(n, ch, 32), mmr.reshape(n, ch, 32)],
+        axis=2).reshape(n, nbp * 16)
+    return ql_k, qh_k, scm, d, dmin
+
+
+def q5k_split_x(x):
+    m, kdim = x.shape
+    kp = _cdiv(kdim, 1024) * 1024
+    xp = _pad_x_lanes(x.astype(jnp.float32), kp)
+    xr = xp.reshape(m, kp // 1024, 4, 4, 2, 32)    # (c, sb, g, h, j)
+    return jnp.transpose(xr, (0, 1, 3, 4, 5, 2)).reshape(m, kp)
+
+
+def qmm_q5_K(x, ql_k, qh_k, scm, d, dmin):
+    m = x.shape[0]
+    n = ql_k.shape[0]
+    kt = ql_k.shape[1] // 512                      # chunks
+    xk = q5k_split_x(x)
+    assert xk.shape[1] == kt * 1024, (x.shape, ql_k.shape)
+    tm, tn = _pick_mn(m, n)
+    return _common_call(_q5k_kernel, m, n, kt, tm, tn,
+                        [xk], [1024],
+                        [ql_k, qh_k, scm, d, dmin], [512, 128, 64, 4, 4])
+
+
+# --------------------------------------------- Q4_1 / Q5_0 / Q5_1 (legacy)
+# Q4_1 is Q4_0's affine sibling (w = q·d + m) and shares its byte order and
+# lane interleave. The 5-bit legacy formats carry one high bit per element
+# in a 4-byte-per-block plane; the kernel lane order is chosen as
+# lane = jj·16 + kk·8 + b (jj = bit position 0..7, kk = byte half, b =
+# block 0..7) so each qh byte's 8 consumers sit at a fixed per-lane shift
+# (variable-shift vector jj = lane//16) after one pltpu.repeat of the
+# 16-lane qh slice — the high-bit plane streams at its wire density.
+# ref: src/ggml-common.h block_q4_1/q5_0/q5_1; scalar dequant
+# src/ggml-quants.c dequantize_row_q5_0/q5_1.
+
+def _q41_kernel(xlo_ref, xhi_ref, qs_ref, d_ref, m_ref, out_ref, *, kt: int):
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for i in range(kt):
+        lo, hi = _nibbles(qs_ref[:, i * 128:(i + 1) * 128])
+        drep = pltpu.repeat(d_ref[:, i * 8:(i + 1) * 8], 16, axis=1)
+        mrep = pltpu.repeat(m_ref[:, i * 8:(i + 1) * 8], 16, axis=1)
+        acc += _dot_nt(xlo_ref[:, i * 128:(i + 1) * 128], lo * drep + mrep)
+        acc += _dot_nt(xhi_ref[:, i * 128:(i + 1) * 128], hi * drep + mrep)
+    out_ref[...] = acc
+
+
+def q41_weight_layout(qs, d, m):
+    """Same packing as Q4_0 plus the per-block min."""
+    import numpy as _np
+
+    n, nb, _ = qs.shape
+    kdim = nb * 32
+    qs_k = qs.reshape(n, kdim // 256, 8, 16).transpose(0, 1, 3, 2).reshape(
+        n, kdim // 2)
+    return (qs_k, _np.asarray(d, _np.float32).reshape(n, nb),
+            _np.asarray(m, _np.float32).reshape(n, nb))
+
+
+def qmm_q4_1(x, qs_k, d_k, m_k):
     m, kdim = x.shape
     n = qs_k.shape[0]
-    kt = kdim // 128
-    xk = _interleave(x.astype(jnp.float32), 128 // blk, blk)
+    kt = kdim // 256
+    assert qs_k.shape[1] == kdim // 2, (x.shape, qs_k.shape)
+    xlo, xhi = q40_split_x(x.astype(jnp.float32))
     tm, tn = _pick_mn(m, n)
-    grid = (_cdiv(m, tm), _cdiv(n, tn))
-    in_specs = [
-        pl.BlockSpec((tm, kdim), lambda i, j: (i, 0)),
-        pl.BlockSpec((tn, kdim), lambda i, j: (j, 0)),
-        pl.BlockSpec((tn, kt * nblk), lambda i, j: (j, 0)),
-        pl.BlockSpec((tn, kt * nblk), lambda i, j: (j, 0)),
-    ]
-    return pl.pallas_call(
-        functools.partial(_q8s_kernel, kt=kt, nblk=nblk, blk=blk,
-                          affine=affine),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
-        interpret=_interpret(),
-    )(xk, qs_k, dsc, dm)
+    return _common_call(_q41_kernel, m, n, kt, tm, tn,
+                        [xlo, xhi], [128, 128], [qs_k, d_k, m_k],
+                        [128, 8, 8])
 
 
-def qmm_q6_K(x, qs_k, dsc):
-    return _qmm_expanded(x, qs_k, dsc, dsc, nblk=8, blk=16, affine=False)
+def _q5l_body(x_ref, qs_ref, qh_ref, d_ref, m_ref, out_ref, kt: int,
+              shift: float):
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    shvec = jax.lax.broadcasted_iota(
+        jnp.int32, (qs_ref.shape[0], 128), 1) // 16
+    for c in range(kt):
+        hb = _widen(qh_ref[:, c * 128:(c + 1) * 128])
+        for t in range(4):
+            qt_ = _widen(qs_ref[:, (4 * c + t) * 128:(4 * c + t + 1) * 128])
+            sblk = slice((c * 4 + t) * 8, (c * 4 + t + 1) * 8)
+            drep = pltpu.repeat(d_ref[:, sblk], 16, axis=1)
+            mrep = pltpu.repeat(m_ref[:, sblk], 16, axis=1) \
+                if m_ref is not None else None
+            for h, nib in ((0, qt_ & 0xF), (1, qt_ >> 4)):
+                hs = hb[:, t * 32 + h * 16:t * 32 + h * 16 + 16]
+                bits = (pltpu.repeat(hs, 8, axis=1) >> shvec) & 1
+                q5 = (nib | (bits << 4)).astype(jnp.float32) - shift
+                w = q5 * drep
+                if mrep is not None:
+                    w = w + mrep
+                acc += _dot_nt(
+                    x_ref[:, c * 1024 + (t * 2 + h) * 128:
+                          c * 1024 + (t * 2 + h + 1) * 128], w)
+    out_ref[...] = acc
 
 
-def qmm_q5_K(x, qs_k, dsc, dm):
-    return _qmm_expanded(x, qs_k, dsc, dm, nblk=4, blk=32, affine=True)
+def _q50_kernel(x_ref, qs_ref, qh_ref, d_ref, out_ref, *, kt: int):
+    _q5l_body(x_ref, qs_ref, qh_ref, d_ref, None, out_ref, kt, 16.0)
+
+
+def _q51_kernel(x_ref, qs_ref, qh_ref, d_ref, m_ref, out_ref, *, kt: int):
+    _q5l_body(x_ref, qs_ref, qh_ref, d_ref, m_ref, out_ref, kt, 0.0)
+
+
+def q5l_weight_layout(qs, qh, d, m=None):
+    """Wire (N, nb, 16) u8 qs, (N, nb, 4) u8 qh, (N, nb) d (and m) →
+    chunked kernel operands; nb zero-padded to a multiple of 32 (one
+    128-byte qh lane tile per chunk)."""
+    import numpy as _np
+
+    n, nb = qs.shape[:2]
+    arrs = [qs, qh, _np.asarray(d, _np.float32)]
+    if m is not None:
+        arrs.append(_np.asarray(m, _np.float32))
+    arrs, nbp = _pad_blocks(n, arrs, nb, 32)
+    qs, qh, d = arrs[0], arrs[1], arrs[2]
+    m = arrs[3] if len(arrs) > 3 else None
+    ch = nbp // 32
+    # qs wire byte = kk*8 + jj → tile lane jj*16 + kk*8 + b
+    qsr = qs.reshape(n, ch, 4, 8, 2, 8)            # (c, t, b, kk, jj)
+    qs_k = qsr.transpose(0, 1, 2, 5, 4, 3).reshape(n, nbp * 16)
+    # qh wire byte = 2h + kk → chunk lane t*32 + h*16 + kk*8 + b
+    qhr = qh.reshape(n, ch, 4, 8, 2, 2)            # (c, t, b, h, kk)
+    qh_k = qhr.transpose(0, 1, 2, 4, 5, 3).reshape(n, ch * 128)
+    out = [qs_k, qh_k, d]
+    if m is not None:
+        out.append(m)
+    return tuple(out)
+
+
+def q5l_split_x(x):
+    """x (M, K) → (M, Kp), element (blk, h, j) at chunk-relative lane
+    (t·2+h)·128 + (j%8)·16 + (j//8)·8 + b."""
+    m, kdim = x.shape
+    kp = _cdiv(kdim, 1024) * 1024
+    xp = _pad_x_lanes(x.astype(jnp.float32), kp)
+    xr = xp.reshape(m, kp // 1024, 4, 8, 2, 2, 8)  # (c, t, b, h, kk, jj)
+    return jnp.transpose(xr, (0, 1, 2, 4, 6, 5, 3)).reshape(m, kp)
+
+
+def qmm_q5_0(x, qs_k, qh_k, d_k):
+    m = x.shape[0]
+    n = qs_k.shape[0]
+    kt = qs_k.shape[1] // 512                      # chunks of 32 blocks
+    xk = q5l_split_x(x)
+    assert xk.shape[1] == kt * 1024, (x.shape, qs_k.shape)
+    tm, tn = _pick_mn(m, n)
+    return _common_call(_q50_kernel, m, n, kt, tm, tn,
+                        [xk], [1024], [qs_k, qh_k, d_k], [512, 128, 32])
+
+
+def qmm_q5_1(x, qs_k, qh_k, d_k, m_k):
+    m = x.shape[0]
+    n = qs_k.shape[0]
+    kt = qs_k.shape[1] // 512
+    xk = q5l_split_x(x)
+    assert xk.shape[1] == kt * 1024, (x.shape, qs_k.shape)
+    tm, tn = _pick_mn(m, n)
+    return _common_call(_q51_kernel, m, n, kt, tm, tn,
+                        [xk], [1024],
+                        [qs_k, qh_k, d_k, m_k], [512, 128, 32, 32])

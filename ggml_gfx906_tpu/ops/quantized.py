@@ -42,11 +42,14 @@ _FIELDS = {
 }
 
 _KFIELDS = {
-    GGMLType.Q4_K: ("qs", "dsclo", "dschi", "dmlo", "dmhi"),
+    GGMLType.Q4_K: ("qs", "scm", "dd"),
     GGMLType.Q8_0: ("qs", "d"),
     GGMLType.Q4_0: ("qs", "d"),
-    GGMLType.Q6_K: ("qs", "dsc"),
-    GGMLType.Q5_K: ("qs", "dsc", "dm"),
+    GGMLType.Q6_K: ("ql", "qh", "sc", "dq"),
+    GGMLType.Q5_K: ("ql", "qh", "scm", "d", "dmin"),
+    GGMLType.Q4_1: ("qs", "d", "m"),
+    GGMLType.Q5_0: ("qs", "qh", "d"),
+    GGMLType.Q5_1: ("qs", "qh", "d", "m"),
 }
 
 _DEQUANT_WIRE = {
@@ -73,12 +76,11 @@ def _to_kernel_layout(qtype: GGMLType, blocks: np.ndarray) -> dict:
     n = blocks.shape[0]
     if qtype == GGMLType.Q4_K:
         sc, mm = dqm.unpack_scale_min_k4(np, np.ascontiguousarray(blocks["scales"]))
-        qs_k, dsclo, dschi, dmlo, dmhi = qmm.q4k_weight_layout(
+        qs_k, scm, dd = qmm.q4k_weight_layout(
             np.ascontiguousarray(blocks["qs"]),
             np.ascontiguousarray(blocks["d"]), np.ascontiguousarray(blocks["dmin"]),
             sc, mm)
-        return {"qs": qs_k, "dsclo": dsclo, "dschi": dschi,
-                "dmlo": dmlo, "dmhi": dmhi}
+        return {"qs": qs_k, "scm": scm, "dd": dd}
     if qtype == GGMLType.Q8_0:
         qs_k, d_k = qmm.q8_weight_layout(
             np.ascontiguousarray(blocks["qs"]), np.ascontiguousarray(blocks["d"]))
@@ -87,38 +89,40 @@ def _to_kernel_layout(qtype: GGMLType, blocks: np.ndarray) -> dict:
         qs_k, d_k = qmm.q40_weight_layout(
             np.ascontiguousarray(blocks["qs"]), np.ascontiguousarray(blocks["d"]))
         return {"qs": qs_k, "d": d_k}
+    if qtype == GGMLType.Q4_1:
+        qs_k, d_k, m_k = qmm.q41_weight_layout(
+            np.ascontiguousarray(blocks["qs"]),
+            np.ascontiguousarray(blocks["d"]).astype(np.float32),
+            np.ascontiguousarray(blocks["m"]).astype(np.float32))
+        return {"qs": qs_k, "d": d_k, "m": m_k}
+    if qtype == GGMLType.Q5_0:
+        qs_k, qh_k, d_k = qmm.q5l_weight_layout(
+            np.ascontiguousarray(blocks["qs"]),
+            np.ascontiguousarray(blocks["qh"]),
+            np.ascontiguousarray(blocks["d"]).astype(np.float32))
+        return {"qs": qs_k, "qh": qh_k, "d": d_k}
+    if qtype == GGMLType.Q5_1:
+        qs_k, qh_k, d_k, m_k = qmm.q5l_weight_layout(
+            np.ascontiguousarray(blocks["qs"]),
+            np.ascontiguousarray(blocks["qh"]),
+            np.ascontiguousarray(blocks["d"]).astype(np.float32),
+            np.ascontiguousarray(blocks["m"]).astype(np.float32))
+        return {"qs": qs_k, "qh": qh_k, "d": d_k, "m": m_k}
     if qtype == GGMLType.Q6_K:
-        # expanded-int8 layout (see qmm.py): values widened at load,
-        # per-16 scales premultiplied (bit-exact product order: d_f32 * sc)
-        ql = np.ascontiguousarray(blocks["ql"]).reshape(n, -1, 2, 2, 32)
-        qh = np.ascontiguousarray(blocks["qh"]).reshape(n, -1, 2, 32)
-        sc = np.ascontiguousarray(blocks["scales"])
-        d = np.ascontiguousarray(blocks["d"]).astype(np.float32)
-        q1 = (ql[:, :, :, 0, :] & 0xF) | (((qh >> 0) & 3) << 4)
-        q2 = (ql[:, :, :, 1, :] & 0xF) | (((qh >> 2) & 3) << 4)
-        q3 = (ql[:, :, :, 0, :] >> 4) | (((qh >> 4) & 3) << 4)
-        q4 = (ql[:, :, :, 1, :] >> 4) | (((qh >> 6) & 3) << 4)
-        q = np.stack([q1, q2, q3, q4], axis=3)          # (n, nb, h, k, 32)
-        q_i8 = (q.astype(np.int16) - 32).astype(np.int8).reshape(n, -1)
-        dsc = (d[:, :, None] * sc.astype(np.float32)).reshape(n, -1)
-        qs_k, dsc_k = qmm.q6k_weight_layout(q_i8, dsc)
-        return {"qs": qs_k, "dsc": dsc_k}
+        ql_k, qh_k, sc_k, dq = qmm.q6k_weight_layout(
+            np.ascontiguousarray(blocks["ql"]),
+            np.ascontiguousarray(blocks["qh"]),
+            np.ascontiguousarray(blocks["scales"]),
+            np.ascontiguousarray(blocks["d"]).astype(np.float32))
+        return {"ql": ql_k, "qh": qh_k, "sc": sc_k, "dq": dq}
     if qtype == GGMLType.Q5_K:
         sc, mm = dqm.unpack_scale_min_k4(np, np.ascontiguousarray(blocks["scales"]))
-        d = np.ascontiguousarray(blocks["d"]).astype(np.float32)
-        dmin = np.ascontiguousarray(blocks["dmin"]).astype(np.float32)
-        d_j = d[:, :, None] * sc.astype(np.float32)     # (n, nb, 8)
-        m_j = dmin[:, :, None] * mm.astype(np.float32)
-        ql = np.ascontiguousarray(blocks["qs"]).reshape(n, -1, 4, 32)
-        qh = np.ascontiguousarray(blocks["qh"]).reshape(n, -1, 1, 32)
-        g = np.arange(4)[None, None, :, None].astype(np.uint8)
-        q0 = (ql & 0xF) + 16 * ((qh >> (2 * g)) & 1)
-        q1 = (ql >> 4) + 16 * ((qh >> (2 * g + 1)) & 1)
-        q = np.stack([q0, q1], axis=3)                  # (n, nb, g, half, 32)
-        q_i8 = q.astype(np.int8).reshape(n, -1)
-        qs_k, dsc_k, dm_k = qmm.q5k_weight_layout(
-            q_i8, d_j.reshape(n, -1), m_j.reshape(n, -1))
-        return {"qs": qs_k, "dsc": dsc_k, "dm": dm_k}
+        ql_k, qh_k, scm, d32, dmin32 = qmm.q5k_weight_layout(
+            np.ascontiguousarray(blocks["qs"]),
+            np.ascontiguousarray(blocks["qh"]), sc, mm,
+            np.ascontiguousarray(blocks["d"]).astype(np.float32),
+            np.ascontiguousarray(blocks["dmin"]).astype(np.float32))
+        return {"ql": ql_k, "qh": qh_k, "scm": scm, "d": d32, "dmin": dmin32}
     raise KeyError(qtype)
 
 
@@ -128,14 +132,15 @@ def _dequant_kernel_layout(qt: "QuantTensor") -> jax.Array:
     f = qt.fields
     n = qt.shape[0]
     if qt.qtype == GGMLType.Q4_K:
+        from .pallas import qmm
+
         sb = f["qs"].shape[1] // 128
         qr = f["qs"].reshape(n, sb, 32, 4)        # [j, g]
         lo = (qr & 0xF).astype(jnp.float32)
         hi = (qr >> 4).astype(jnp.float32)
-        dsclo = f["dsclo"].reshape(n, sb, 4)
-        dschi = f["dschi"].reshape(n, sb, 4)
-        dmlo = f["dmlo"].reshape(n, sb, 4)
-        dmhi = f["dmhi"].reshape(n, sb, 4)
+        dsclo, dschi, dmlo, dmhi = (
+            a.reshape(n, sb, 4)
+            for a in qmm.q4k_scale_arrays(f["scm"], f["dd"]))
         lo = lo * dsclo[:, :, None, :] - dmlo[:, :, None, :]
         hi = hi * dschi[:, :, None, :] - dmhi[:, :, None, :]
         # element (sb, g, half, j)
@@ -159,20 +164,86 @@ def _dequant_kernel_layout(qt: "QuantTensor") -> jax.Array:
         out = jnp.stack([lo, hi], axis=3)          # (n, kt, 16, 2, 8) [j,half,b]
         out = jnp.transpose(out, (0, 1, 4, 3, 2))  # (n, kt, b, half, j)
         return out.reshape(n, kt * 256)
+    if qt.qtype == GGMLType.Q4_1:
+        kt = f["qs"].shape[1] // 128
+        qr = f["qs"].reshape(n, kt, 16, 8)
+        d = f["d"].reshape(n, kt, 8)[:, :, None, :]
+        m_ = f["m"].reshape(n, kt, 8)[:, :, None, :]
+        lo = (qr & 0xF).astype(jnp.float32) * d + m_
+        hi = (qr >> 4).astype(jnp.float32) * d + m_
+        out = jnp.stack([lo, hi], axis=3)          # (n, kt, 16, 2, 8)
+        out = jnp.transpose(out, (0, 1, 4, 3, 2))  # (n, kt, b, half, j)
+        return out.reshape(n, kt * 256)
+    if qt.qtype in (GGMLType.Q5_0, GGMLType.Q5_1):
+        kdim = qt.shape[-1]
+        ch = f["qs"].shape[1] // 512
+        qsr = f["qs"].reshape(n, ch, 4, 8, 2, 8)   # (c,t,jj,kk,b)
+        qs_w = jnp.transpose(qsr, (0, 1, 2, 5, 4, 3))    # (c,t,b,kk,jj)
+        qhr = f["qh"].reshape(n, ch, 4, 2, 2, 8)   # (c,t,h,kk,b)
+        qh_w = jnp.transpose(qhr, (0, 1, 2, 5, 3, 4))    # (c,t,b,h,kk)
+        qs32 = qs_w.astype(jnp.int32)
+        nib = jnp.stack([qs32 & 0xF, qs32 >> 4], axis=4)  # (c,t,b,h,kk,jj)
+        bits = (qh_w.astype(jnp.int32)[..., None]
+                >> jnp.arange(8, dtype=jnp.int32)) & 1    # (c,t,b,h,kk,jj)
+        q5 = (nib | (bits << 4)).astype(jnp.float32)
+        d = f["d"].reshape(n, ch, 4, 8)[..., None, None, None]
+        if qt.qtype == GGMLType.Q5_0:
+            w = (q5 - 16.0) * d
+        else:
+            m_ = f["m"].reshape(n, ch, 4, 8)[..., None, None, None]
+            w = q5 * d + m_
+        return w.reshape(n, ch * 1024)[:, :kdim]
     if qt.qtype == GGMLType.Q6_K:
         kdim = qt.shape[-1]
-        qn = f["qs"].reshape(n, kdim // 128, 16, 8)
-        qn = jnp.transpose(qn, (0, 1, 3, 2)).reshape(n, kdim)  # de-interleave
-        w = qn.astype(jnp.float32).reshape(n, kdim // 16, 16) \
-            * f["dsc"][:, :, None]
-        return w.reshape(n, kdim)
+        ch = f["ql"].shape[1] // 256
+        # invert the chunked kernel layout (qmm.q6k_weight_layout)
+        qlr = f["ql"].reshape(n, ch, 2, 16, 2, 2, 2)      # (c,k,j,sb,h,s)
+        ql_w = jnp.transpose(qlr, (0, 1, 4, 5, 2, 6, 3))  # (c,sb,h,k,s,j)
+        qhr = f["qh"].reshape(n, ch, 16, 2, 2, 2)         # (c,j,sb,h,s)
+        qh_w = jnp.transpose(qhr, (0, 1, 3, 4, 5, 2))     # (c,sb,h,s,j)
+        scr = f["sc"].reshape(n, ch, 4, 2, 2, 2)          # (c,q,sb,h,s)
+        sc_w = jnp.transpose(scr, (0, 1, 3, 4, 2, 5)) \
+            .astype(jnp.float32)                          # (c,sb,h,q,s)
+        d = f["dq"][:, ::4].reshape(n, ch, 2)             # (c,sb)
+        ql32 = ql_w.astype(jnp.int32)
+        nibs = jnp.stack([ql32[:, :, :, :, 0] & 0xF,      # q1 (k=0 lo)
+                          ql32[:, :, :, :, 1] & 0xF,      # q2
+                          ql32[:, :, :, :, 0] >> 4,       # q3
+                          ql32[:, :, :, :, 1] >> 4],
+                         axis=4)                          # (c,sb,h,q,s,j)
+        sh = jnp.arange(4, dtype=jnp.int32)[None, None, None, None, :,
+                                            None, None] * 2
+        bits = (qh_w.astype(jnp.int32)[:, :, :, :, None] >> sh) & 3
+        val = (nibs | (bits << 4)) - 32
+        w = val.astype(jnp.float32) * sc_w[..., None] \
+            * d[:, :, :, None, None, None, None]
+        return w.reshape(n, ch * 512)[:, :kdim]
     if qt.qtype == GGMLType.Q5_K:
         kdim = qt.shape[-1]
-        qn = f["qs"].reshape(n, kdim // 128, 32, 4)
-        qn = jnp.transpose(qn, (0, 1, 3, 2)).reshape(n, kdim)
-        w = qn.astype(jnp.float32).reshape(n, kdim // 32, 32) \
-            * f["dsc"][:, :, None] - f["dm"][:, :, None]
-        return w.reshape(n, kdim)
+        ch = f["ql"].shape[1] // 512
+        qlr = f["ql"].reshape(n, ch, 4, 32, 4)            # (c,g,j,sb)
+        ql_w = jnp.transpose(qlr, (0, 1, 4, 2, 3))        # (c,sb,g,j)
+        qhr = f["qh"].reshape(n, ch, 32, 4)               # (c,j,sb)
+        qh_w = jnp.transpose(qhr, (0, 1, 3, 2))           # (c,sb,j)
+        scm = f["scm"].reshape(n, ch, 2, 8, 4)            # ([sc|m],t,sb)
+        sc_w = jnp.transpose(scm[:, :, 0], (0, 1, 3, 2)) \
+            .astype(jnp.float32)                          # (c,sb,t)
+        mm_w = jnp.transpose(scm[:, :, 1], (0, 1, 3, 2)).astype(jnp.float32)
+        d = f["d"].reshape(n, ch, 4)
+        dmin = f["dmin"].reshape(n, ch, 4)
+        ql32 = ql_w.astype(jnp.int32)
+        qh32 = qh_w.astype(jnp.int32)
+        # element order (c, sb, g, h, j); t = 2g+h
+        nib = jnp.stack([ql32 & 0xF, ql32 >> 4], axis=4)  # (c,sb,g,h,j)
+        sh = (jnp.arange(4)[:, None] * 2 + jnp.arange(2)[None, :]) \
+            .astype(jnp.int32)                            # (g,h)
+        bits = (qh32[:, :, :, None, None, :]
+                >> sh[None, None, None, :, :, None]) & 1  # (c,sb,g,h,j)
+        q = nib + 16 * bits
+        dsc = sc_w.reshape(n, ch, 4, 4, 2) * d[:, :, :, None, None]
+        dmm = mm_w.reshape(n, ch, 4, 4, 2) * dmin[:, :, :, None, None]
+        w = q.astype(jnp.float32) * dsc[..., None] - dmm[..., None]
+        return w.reshape(n, ch * 1024)[:, :kdim]
     raise KeyError(qt.qtype)
 
 
@@ -243,20 +314,14 @@ class QuantTensor:
         data (this dataclass's `shape`) still carries the global value; the
         kernels and dequant reshape against `shape`, so sharded-weight
         forwards must localize first (parallel/tp.py does this)."""
-        qs = self.fields.get("qs")
+        # Only the row (N) axis is ever sharded (shard_quant_tensor shards
+        # every field on axis 0); K stays global, including any kernel-layout
+        # chunk padding, so it is taken from the logical shape.
         if self.layout == "kernel":
-            n = qs.shape[0]
-            if self.qtype in (GGMLType.Q4_K, GGMLType.Q4_0):
-                k = qs.shape[1] * 2
-            elif self.qtype in (GGMLType.Q8_0, GGMLType.Q6_K, GGMLType.Q5_K):
-                k = qs.shape[1]
-            else:
-                raise KeyError(self.qtype)
+            n = self.fields["qs" if "qs" in self.fields else "ql"].shape[0]
         else:
-            lead = self.fields[_FIELDS[self.qtype][0]]
-            n = lead.shape[0]
-            k = lead.shape[1] * TYPE_TRAITS[self.qtype].blck_size
-        shp = (n, k)
+            n = self.fields[_FIELDS[self.qtype][0]].shape[0]
+        shp = (n, self.shape[-1])
         if shp == tuple(self.shape):
             return self
         return QuantTensor(self.qtype, shp, self.fields, self.layout)

@@ -40,7 +40,7 @@ def shard_quant_tensor(mesh: Mesh, qt: QuantTensor, spec: P) -> QuantTensor:
     fspec = lambda a: P(row_axis, *([None] * (a.ndim - 1)))
     fields = {k: jax.device_put(v, NamedSharding(mesh, fspec(v)))
               for k, v in qt.fields.items()}
-    return QuantTensor(qt.qtype, qt.shape, fields)
+    return QuantTensor(qt.qtype, qt.shape, fields, qt.layout)
 
 
 # Sharding rules for transformer param pytrees (gpt2/gptj/llama naming).

@@ -1,15 +1,18 @@
 """Continuous-batching serving engine.
 
 ref: examples/gpt-2/main-batched.cpp — llama.cpp-style request batching
-(gpt2_batch token/pos/seq_id arrays :139, KV-cell bookkeeping :88) — and
-the scheduler's role of keeping devices busy (src/ggml-backend.cpp).
+(gpt2_batch token/pos/seq_id arrays :139, KV-cell bookkeeping :88,
+interleaved admission :407-430) — and the scheduler's role of keeping
+devices busy (src/ggml-backend.cpp).
 
 TPU-native shape: a fixed pool of B slots over a preallocated batched KV
-cache. Admission prefills one sequence (bucketed lengths → few compiled
-programs) and installs it into a free slot; every engine step runs ONE
-jit-compiled batched decode for all active slots (inactive slots are
-masked). Host-side bookkeeping is deterministic — the property the
-multi-host path relies on (SURVEY.md §7 hard part (e)).
+cache. Admission prefills in fixed-size CHUNKS interleaved with decode
+steps, so a long prompt never stalls active slots' token cadence for more
+than one chunk; every engine step runs ONE jit-compiled batched decode for
+all active slots (inactive slots are masked) with per-request seeded
+top-k/top-p sampling folded into the program. Host-side bookkeeping is
+deterministic — the property the multi-host path relies on (SURVEY.md §7
+hard part (e)).
 """
 from __future__ import annotations
 
@@ -21,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .batched_kv import BatchedKVCache
+from .sampling import sample_batch
 
 
 @dataclass
@@ -29,6 +33,10 @@ class Request:
     prompt: list[int]
     max_new_tokens: int
     eos_id: int | None = None
+    temp: float = 0.0            # 0 → greedy
+    top_k: int = 40
+    top_p: float = 0.9
+    seed: int = 0
     out: list[int] = field(default_factory=list)
     done: bool = False
 
@@ -40,33 +48,52 @@ def _bucket(n: int, buckets=(16, 32, 64, 128, 256, 512, 1024, 2048)) -> int:
     return n
 
 
+@dataclass
+class _Pending:
+    """A request whose prompt is being prefilled chunk-by-chunk."""
+    req: Request
+    kv: object                   # single-sequence KVCache being filled
+    done_tokens: int = 0
+
+
 class Engine:
-    """Continuous batching over a model exposing forward_batch/prefill_kv
-    (models/llama.py)."""
+    """Continuous batching over a model exposing forward/forward_batch/
+    make_cache (models/llama.py)."""
 
     def __init__(self, model_mod, cfg, params, max_batch: int = 8,
-                 max_seq: int = 1024):
+                 max_seq: int = 1024, chunk_size: int = 128):
         self.m = model_mod
         self.cfg = cfg
         self.params = params
         self.max_batch = max_batch
         self.max_seq = max_seq
+        self.chunk_size = chunk_size
         self.kv = BatchedKVCache.create(
             cfg.n_layer, max_batch, max_seq, cfg.n_kv_head, cfg.head_dim,
             dtype=cfg.compute_dtype)
         self.slots: list[Request | None] = [None] * max_batch
         self.cur_tok = np.zeros(max_batch, np.int32)
+        self.seeds = np.zeros(max_batch, np.int32)
+        self.temps = np.zeros(max_batch, np.float32)
+        self.top_ks = np.ones(max_batch, np.int32)
+        self.top_ps = np.ones(max_batch, np.float32)
+        self.counters = np.zeros(max_batch, np.int32)
         self.queue: list[Request] = []
+        self.pending: _Pending | None = None
         self.finished: list[Request] = []
         self._rid = itertools.count()
 
-        mm, c, p = self.m, self.cfg, self.params
+        mm, c = self.m, self.cfg
 
         @jax.jit
-        def _decode_step(params, kv, toks, active):
+        def _decode_step(params, kv, toks, active, seeds, counters, temps,
+                         top_ks, top_ps):
             logits, kv = mm.forward_batch(c, params, toks[:, None], kv,
                                           kv.lengths)
-            nxt = jnp.argmax(logits[:, 0, :], axis=-1).astype(jnp.int32)
+            keys = jax.vmap(
+                lambda s, ct: jax.random.fold_in(jax.random.PRNGKey(s), ct)
+            )(seeds, counters)
+            nxt = sample_batch(logits[:, 0, :], keys, temps, top_ks, top_ps)
             new_len = kv.lengths + active.astype(jnp.int32)
             kv = BatchedKVCache(kv.k, kv.v, new_len)
             return nxt, kv
@@ -80,26 +107,30 @@ class Engine:
         self._install = _install
 
         @jax.jit
-        def _prefill(padded_tokens):
-            return mm.prefill_kv(c, p, padded_tokens, self.max_seq)
+        def _prefill_chunk(params, toks, kv_single, start):
+            logits, kv_single = mm.forward(c, params, toks, kv_single, start)
+            return logits, kv_single
 
-        self._prefill = _prefill
+        self._prefill_chunk = _prefill_chunk
 
     # -- public API -------------------------------------------------------
 
     def submit(self, prompt: list[int], max_new_tokens: int,
-               eos_id: int | None = None) -> int:
+               eos_id: int | None = None, temp: float = 0.0,
+               top_k: int = 40, top_p: float = 0.9, seed: int = 0) -> int:
         if not prompt:
             raise ValueError("empty prompt")
         if len(prompt) >= self.max_seq:
             raise ValueError(f"prompt length {len(prompt)} >= max_seq {self.max_seq}")
-        r = Request(next(self._rid), list(prompt), max_new_tokens, eos_id)
+        r = Request(next(self._rid), list(prompt), max_new_tokens, eos_id,
+                    temp, top_k, top_p, seed)
         self.queue.append(r)
         return r.rid
 
     def run(self) -> list[Request]:
         """Run until all submitted requests complete; returns them."""
-        while self.queue or any(s is not None for s in self.slots):
+        while (self.queue or self.pending
+               or any(s is not None for s in self.slots)):
             self.step()
         out, self.finished = self.finished, []
         return out
@@ -112,26 +143,49 @@ class Engine:
                 return b
         return None
 
-    def _admit(self):
-        while self.queue:
-            b = self._free_slot()
-            if b is None:
+    def _advance_admission(self):
+        """Process at most ONE prefill chunk per engine step (chunked
+        admission: active slots keep decoding between chunks, ref
+        main-batched.cpp:407-430's interleaved batch building)."""
+        if self.pending is None:
+            if not self.queue or self._free_slot() is None:
                 return
             r = self.queue.pop(0)
-            toks = np.asarray(r.prompt, np.int32)
-            bucket = _bucket(len(toks))
-            padded = np.zeros(bucket, np.int32)
-            padded[:len(toks)] = toks
-            # bucketed prefill (compiled once per bucket size); padding K/V
-            # beyond the true length is overwritten by later decode writes
-            logits, kf, vf = self._prefill(jnp.asarray(padded))
-            first_tok = int(jnp.argmax(logits[len(toks) - 1]))
-            self.kv = self._install(self.kv, jnp.int32(b), kf, vf,
-                                    jnp.int32(len(toks)))
-            self.slots[b] = r
-            r.out.append(first_tok)
-            self.cur_tok[b] = first_tok
-            self._check_done(b)
+            self.pending = _Pending(r, self.m.make_cache(
+                self.cfg, self.max_seq))
+        p = self.pending
+        toks = p.req.prompt
+        chunk = toks[p.done_tokens:p.done_tokens + self.chunk_size]
+        pad_len = min(_bucket(len(chunk)), self.chunk_size)
+        padded = np.zeros(pad_len, np.int32)
+        padded[:len(chunk)] = chunk
+        logits, p.kv = self._prefill_chunk(
+            self.params, jnp.asarray(padded), p.kv,
+            jnp.int32(p.done_tokens))
+        p.done_tokens += len(chunk)
+        if p.done_tokens < len(toks):
+            return
+        # prompt complete → sample the first token and install the slot
+        b = self._free_slot()
+        r = p.req
+        keys = jax.random.fold_in(jax.random.PRNGKey(r.seed), 0)[None]
+        first = int(sample_batch(
+            logits[len(chunk) - 1][None], keys,
+            jnp.asarray([r.temp], jnp.float32),
+            jnp.asarray([r.top_k], jnp.int32),
+            jnp.asarray([r.top_p], jnp.float32))[0])
+        self.kv = self._install(self.kv, jnp.int32(b), p.kv.k, p.kv.v,
+                                jnp.int32(len(toks)))
+        self.slots[b] = r
+        self.seeds[b] = r.seed
+        self.temps[b] = r.temp
+        self.top_ks[b] = r.top_k
+        self.top_ps[b] = r.top_p
+        self.counters[b] = 1
+        r.out.append(first)
+        self.cur_tok[b] = first
+        self.pending = None
+        self._check_done(b)
 
     def _check_done(self, b: int):
         r = self.slots[b]
@@ -148,15 +202,19 @@ class Engine:
                 self.kv.lengths.at[b].set(0))
 
     def step(self):
-        """One engine iteration: admit waiting requests, one batched decode."""
-        self._admit()
+        """One engine iteration: one admission chunk, one batched decode."""
+        self._advance_admission()
         active = np.array([s is not None for s in self.slots], bool)
         if not active.any():
             return
         toks = jnp.asarray(self.cur_tok)
-        nxt, self.kv = self._decode_step(self.params, self.kv, toks,
-                                         jnp.asarray(active))
+        nxt, self.kv = self._decode_step(
+            self.params, self.kv, toks, jnp.asarray(active),
+            jnp.asarray(self.seeds), jnp.asarray(self.counters),
+            jnp.asarray(self.temps), jnp.asarray(self.top_ks),
+            jnp.asarray(self.top_ps))
         nxt = np.asarray(nxt)
+        self.counters += 1
         for b, r in enumerate(self.slots):
             if r is None:
                 continue

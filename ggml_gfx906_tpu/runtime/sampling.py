@@ -31,3 +31,30 @@ def sample_top_k_top_p(logits: jax.Array, key: jax.Array, top_k: int = 40,
         probs = probs / probs.sum()
     choice = jax.random.categorical(key, jnp.log(jnp.maximum(probs, 1e-30)))
     return idx[choice].astype(jnp.int32)
+
+
+def sample_batch(logits, keys, temp, top_k, top_p, max_k: int = 64):
+    """Batched per-slot sampling for the serving engine.
+
+    logits (B, V); keys (B, 2) uint32 PRNG keys; temp/top_p (B,) f32;
+    top_k (B,) int32 in [1, max_k]. temp == 0 selects greedy for that slot.
+    All sampling parameters are traced, so one compiled program serves any
+    mix of per-request settings (ref: per-sequence sampler state in
+    examples/common.cpp gpt_sample_top_k_top_p).
+    """
+    b, _ = logits.shape
+    lf = logits.astype(jnp.float32)
+    safe_t = jnp.where(temp > 0, temp, 1.0)
+    vals, idx = jax.lax.top_k(lf / safe_t[:, None], max_k)   # (B, max_k)
+    kk = jnp.clip(top_k, 1, max_k)
+    in_k = jnp.arange(max_k)[None, :] < kk[:, None]
+    probs = jax.nn.softmax(jnp.where(in_k, vals, -jnp.inf), axis=-1)
+    csum = jnp.cumsum(probs, axis=-1)
+    keep = jnp.concatenate(
+        [jnp.ones((b, 1), bool), csum[:, :-1] < top_p[:, None]], axis=1)
+    probs = jnp.where(keep & in_k, probs, 0.0)
+    logp = jnp.log(jnp.maximum(probs / probs.sum(-1, keepdims=True), 1e-30))
+    choice = jax.vmap(jax.random.categorical)(keys, logp)    # (B,)
+    sampled = jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0]
+    return jnp.where(temp > 0, sampled,
+                     jnp.argmax(lf, axis=-1)).astype(jnp.int32)

@@ -66,8 +66,15 @@ def fit(loss_fn: Callable,
         opt_period: int = 1,
         accuracy_fn: Callable | None = None,
         seed: int = 0,
-        verbose: bool = True) -> tuple[object, FitResult]:
-    """ggml_opt_fit analogue. Returns (trained params, FitResult)."""
+        verbose: bool = True,
+        checkpoint_dir: str | None = None) -> tuple[object, FitResult]:
+    """ggml_opt_fit analogue. Returns (trained params, FitResult).
+
+    checkpoint_dir: when set, the full training state (params, optimizer
+    moments, grad accumulator, RNG + dataset shuffle state, metrics) is
+    checkpointed after every epoch via training/checkpoint.py, and a fresh
+    call with the same directory resumes bit-exactly after the last
+    completed epoch."""
     rng = np.random.default_rng(seed)
     n = dataset.ndata
     n_train = int(n * (1.0 - val_split)) // batch_size * batch_size
@@ -79,9 +86,31 @@ def fit(loss_fn: Callable,
     opt_state = adamw_init(params)
     grad_acc = jax.tree.map(jnp.zeros_like, params)
     result = FitResult()
+    start_epoch = 0
 
-    dataset.shuffle(rng)  # initial shuffle over everything (incl. val split)
-    for epoch in range(n_epochs):
+    if checkpoint_dir is not None:
+        from . import checkpoint as ckpt
+
+        saved = ckpt.restore_latest(checkpoint_dir)
+        if saved is not None:
+            params = jax.tree.map(jnp.asarray, saved["params"])
+            opt_state = jax.tree.map(jnp.asarray, saved["opt_state"])
+            grad_acc = jax.tree.map(jnp.asarray, saved["grad_acc"])
+            rng = ckpt.decode_rng(saved["rng"])
+            dataset._perm[:] = saved["dataset_perm"]
+            import json
+
+            metrics = json.loads(bytes(
+                np.asarray(saved["metrics"], np.uint8)).decode())
+            result = FitResult(metrics["train_loss"], metrics["val_loss"],
+                               metrics["val_acc"])
+            start_epoch = int(saved["epoch"]) + 1
+            if verbose and start_epoch < n_epochs:
+                print(f"resuming from epoch {start_epoch}", file=sys.stderr)
+
+    if start_epoch == 0:
+        dataset.shuffle(rng)  # initial shuffle over everything (incl. val)
+    for epoch in range(start_epoch, n_epochs):
         dataset.shuffle(rng, n_train)  # reshuffle only the training split
         t0 = time.time()
         losses = []
@@ -111,4 +140,24 @@ def fit(loss_fn: Callable,
                 msg += f" val_acc={result.val_acc[-1]:.4f}"
             msg += f" ({time.time() - t0:.1f}s)"
             print(msg, file=sys.stderr)
+        if checkpoint_dir is not None:
+            import json
+
+            from . import checkpoint as ckpt
+
+            metrics = json.dumps({
+                "train_loss": result.train_loss,
+                "val_loss": result.val_loss,
+                "val_acc": result.val_acc,
+            })
+            ckpt.save(checkpoint_dir, epoch, {
+                "params": params,
+                "opt_state": opt_state,
+                "grad_acc": grad_acc,
+                "rng": ckpt.encode_rng(rng),
+                "dataset_perm": np.asarray(dataset._perm),
+                "epoch": np.int64(epoch),
+                "metrics": np.frombuffer(metrics.encode(),
+                                         np.uint8).copy(),
+            })
     return params, result

@@ -153,10 +153,8 @@ def _random_qt(rng, qtype, n, k):
         sb = k // 256
         fields = {
             "qs": rng.integers(0, 256, (n, sb * 128), dtype=np.uint8),
-            "dsclo": rng.random((n, sb * 4), dtype=np.float32) * 0.01,
-            "dschi": rng.random((n, sb * 4), dtype=np.float32) * 0.01,
-            "dmlo": rng.random((n, sb * 4), dtype=np.float32) * 0.01,
-            "dmhi": rng.random((n, sb * 4), dtype=np.float32) * 0.01,
+            "scm": rng.integers(0, 64, (n, sb * 16), dtype=np.uint8),
+            "dd": rng.random((n, sb * 2), dtype=np.float32) * 0.01,
         }
     elif qtype == GGMLType.Q8_0:
         fields = {"qs": rng.integers(-127, 128, (n, k)).astype(np.int8),
@@ -205,7 +203,7 @@ def bench_dequant(qtype_name: str, n: int, k: int):
     qt = _random_qt(rng, qtype, n, k)
     iters = 20
     eps = jnp.asarray(np.arange(4 * iters, dtype=np.float32) * 1e-12 + 1e-15)
-    dname = "d" if "d" in qt.fields else "dsclo"
+    dname = "d" if "d" in qt.fields else "dd"
 
     def run(e, q):
         from ..ops.quantized import QuantTensor

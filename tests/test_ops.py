@@ -49,6 +49,22 @@ def test_qmatmul(qtype):
     assert nmse(expect, got) < 1e-10
 
 
+@pytest.mark.parametrize("qtype", [GGMLType.Q5_K, GGMLType.Q6_K])
+def test_qmatmul_odd_superblocks(qtype):
+    """K = 3 superblocks exercises the packed kernels' chunk zero-padding
+    (Q6_K chunks are 2 superblocks, Q5_K 4 — padded blocks must contribute
+    exactly zero)."""
+    x = RNG.standard_normal((3, 768)).astype(np.float32)
+    w = RNG.standard_normal((64, 768)).astype(np.float32)
+    qt = QuantTensor.quantize(qtype, w)
+    assert qt.layout == "kernel"
+    got = np.asarray(qmatmul(jnp.asarray(x), qt))
+    expect = x @ dequantize(qtype, quantize(qtype, w)).T
+    assert nmse(expect, got) < 1e-10
+    got_d = np.asarray(dequant(qt))
+    np.testing.assert_array_equal(got_d, dequantize(qtype, quantize(qtype, w)))
+
+
 def test_norm_and_rms_norm():
     x = RNG.standard_normal((2, 5, 64)).astype(np.float32)
     eps = 1e-5

@@ -28,8 +28,7 @@ def nmse(a, b):
 def _mm_i8(qtype, x, qt):
     f = qt.fields
     if qtype == GGMLType.Q4_K:
-        return qmm.qmm_q4_K_i8(x, f["qs"], f["dsclo"], f["dschi"],
-                               f["dmlo"], f["dmhi"])
+        return qmm.qmm_q4_K_i8(x, f["qs"], f["scm"], f["dd"])
     if qtype == GGMLType.Q8_0:
         return qmm.qmm_q8_0_i8(x, f["qs"], f["d"])
     return qmm.qmm_q4_0_i8(x, f["qs"], f["d"])

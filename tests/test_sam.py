@@ -80,3 +80,21 @@ def test_full_mask_decode_parity(hf_sam, my_sam, monkeypatch):
     nmse = ((got_masks - ref_masks) ** 2).sum() / (ref_masks ** 2).sum()
     assert nmse < 1e-6, nmse
     np.testing.assert_allclose(got_iou, ref_iou, rtol=1e-4, atol=1e-5)
+
+
+def test_sam_gguf_roundtrip(my_sam, tmp_path):
+    """GGUF save/load must reproduce config and every tensor exactly
+    (dotted-path pytree serialization, gguf/pytree.py)."""
+    cfg, params = my_sam
+    path = str(tmp_path / "sam.gguf")
+    sam.save_gguf(path, cfg, params)
+    cfg2, params2 = sam.load_gguf(path)
+    assert cfg2 == cfg
+    leaves1 = jax.tree_util.tree_flatten_with_path(params)[0]
+    leaves2 = jax.tree_util.tree_flatten_with_path(params2)[0]
+    # tuples become lists on load; compare by path string and value
+    as_map = {jax.tree_util.keystr(k): v for k, v in leaves2}
+    assert len(leaves1) == len(as_map)
+    for k, v in leaves1:
+        got = as_map[jax.tree_util.keystr(k)]
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(v))
