@@ -208,7 +208,10 @@ def generate(cfg: LlamaConfig, params: dict, prompt_tokens, n_predict: int,
     sampler = sampler or (lambda lg: greedy(lg))
     out.append(int(sampler(logits[-1])))
     pos = len(prompt_tokens)
+    from ..utils import abort
+
     for _ in range(n_predict - 1):
+        abort.check()   # cooperative-cancel poll point between dispatches
         logits, kv = forward_jit(cfg, params,
                                  jnp.asarray([out[-1]], dtype=jnp.int32),
                                  kv, jnp.int32(pos))

@@ -1,9 +1,8 @@
 """Dispatch kernel-layout QuantTensors to the fused Pallas matmuls."""
 from __future__ import annotations
 
-import os
-
 from ...quant.types import GGMLType
+from ...utils import config
 from . import qmm
 
 KERNEL_TYPES = {GGMLType.Q4_K, GGMLType.Q8_0, GGMLType.Q4_0,
@@ -13,9 +12,9 @@ KERNEL_TYPES = {GGMLType.Q4_K, GGMLType.Q8_0, GGMLType.Q4_0,
 # integer-MXU (int8×int8→int32) prefill kernels — the reference's mmq/V_DOT
 # analogue (src/ggml-cuda/mmq.cu, quantize.cu). Decode (small M) stays on
 # the f32-expand kernels: it is HBM-bound and the int8 path's extra
-# activation-quantize work buys nothing there.
+# activation-quantize work buys nothing there. Threshold knob:
+# config "int8_min_m" / env GGML_TPU_INT8_MIN_M (0 disables).
 INT8_TYPES = {GGMLType.Q4_K, GGMLType.Q8_0, GGMLType.Q4_0}
-INT8_MIN_M = int(os.environ.get("GGML_TPU_INT8_MIN_M", "64"))
 
 
 def matmul(x, qt):
@@ -26,8 +25,8 @@ def matmul(x, qt):
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     f = qt.fields
-    if (qt.qtype in INT8_TYPES and INT8_MIN_M > 0
-            and x2.shape[0] >= INT8_MIN_M):
+    min_m = config.get("int8_min_m")
+    if (qt.qtype in INT8_TYPES and min_m > 0 and x2.shape[0] >= min_m):
         if qt.qtype == GGMLType.Q4_K:
             out = qmm.qmm_q4_K_i8(x2, f["qs"], f["scm"], f["dd"])
         elif qt.qtype == GGMLType.Q8_0:

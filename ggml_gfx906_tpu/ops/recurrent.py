@@ -73,13 +73,59 @@ def gated_linear_attn(k, v, q, g, state0, scale: float = 1.0):
     return jnp.moveaxis(outs, 0, 1), state
 
 
-def mul_mat_id(experts, x, ids):
+def mul_mat_id(experts, x, ids, capacity: int | None = None):
     """MoE routed matmul (GGML_OP_MUL_MAT_ID).
 
-    experts: (n_expert, N, K) — or a kernel-layout QuantTensor stack is a
-    planned extension; x: (T, n_used, K); ids: (T, n_used) int32.
-    Returns (T, n_used, N): out[t, e] = x[t, e] @ experts[ids[t, e]].T."""
-    w = experts[ids]  # (T, U, N, K) gather
-    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT)
-    return jnp.einsum("tuk,tunk->tun", x, w, precision=prec)
+    experts: (n_expert, N, K) array or a sequence of per-expert weights —
+    each a dense (N, K) array or a kernel-layout QuantTensor (the fused
+    Pallas kernels then serve each expert's matmul). x: (T, n_used, K);
+    ids: (T, n_used) int32. Returns (T, n_used, N):
+    out[t, u] = x[t, u] @ experts[ids[t, u]].T.
+
+    TPU-native dispatch (GShard-style), replacing the reference's dynamic
+    row grouping (src/ggml-cuda/ggml-cuda.cu MUL_MAT_ID path) which needs
+    data-dependent shapes XLA forbids: tokens scatter into a static
+    (n_expert, capacity, K) buffer by their position within their expert's
+    queue, one matmul runs per expert, and results gather back. With the
+    default capacity = T·n_used the result is exact for any routing; a
+    smaller capacity (e.g. 2·T·n_used/E) trades the balanced-routing
+    assumption for proportional compute, zeroing overflowing tokens —
+    standard TPU serving practice."""
+    from .quantized import QuantTensor, qmatmul
+
+    T, U, K = x.shape
+    E = len(experts)
+    C = T * U if capacity is None else min(capacity, T * U)
+    xf = x.reshape(T * U, K)
+    idf = ids.reshape(T * U)
+    onehot = idf[:, None] == jnp.arange(E, dtype=idf.dtype)[None, :]
+    # position of each token within its expert's queue
+    pos = jnp.take_along_axis(jnp.cumsum(onehot, axis=0) - 1,
+                              idf[:, None].astype(jnp.int32), axis=1)[:, 0]
+    keep = pos < C
+    slot = jnp.where(keep, idf * C + pos, E * C)       # drops → scratch row
+    buf = jnp.zeros((E * C + 1, K), jnp.float32)
+    buf = buf.at[slot].set(xf.astype(jnp.float32))
+    buf = buf[:E * C].reshape(E, C, K)
+
+    if isinstance(experts, (list, tuple)):
+        ys = [qmatmul(buf[e], experts[e]) if isinstance(experts[e], QuantTensor)
+              else _dense_nt(buf[e], experts[e]) for e in range(E)]
+        y = jnp.stack(ys)                              # (E, C, N)
+    else:
+        prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+        y = jax.lax.dot_general(
+            buf, experts.astype(jnp.float32),
+            (((2,), (2,)), ((0,), (0,))), precision=prec)  # (E, C, N)
+    n = y.shape[-1]
+    yf = y.reshape(E * C, n)
+    out = yf[jnp.where(keep, idf * C + pos, 0)]
+    out = jnp.where(keep[:, None], out, 0.0)
+    return out.reshape(T, U, n).astype(x.dtype)
+
+
+def _dense_nt(a, w):
+    return jax.lax.dot_general(
+        a, w.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)

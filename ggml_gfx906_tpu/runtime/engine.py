@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils import abort, config
 from .batched_kv import BatchedKVCache
 from .sampling import sample_batch
 
@@ -61,13 +62,13 @@ class Engine:
     make_cache (models/llama.py)."""
 
     def __init__(self, model_mod, cfg, params, max_batch: int = 8,
-                 max_seq: int = 1024, chunk_size: int = 128):
+                 max_seq: int = 1024, chunk_size: int | None = None):
         self.m = model_mod
         self.cfg = cfg
         self.params = params
         self.max_batch = max_batch
         self.max_seq = max_seq
-        self.chunk_size = chunk_size
+        self.chunk_size = chunk_size or config.get("engine_chunk_size")
         self.kv = BatchedKVCache.create(
             cfg.n_layer, max_batch, max_seq, cfg.n_kv_head, cfg.head_dim,
             dtype=cfg.compute_dtype)
@@ -203,6 +204,7 @@ class Engine:
 
     def step(self):
         """One engine iteration: one admission chunk, one batched decode."""
+        abort.check()   # cooperative-cancel poll point (utils/abort.py)
         self._advance_admission()
         active = np.array([s is not None for s in self.slots], bool)
         if not active.any():

@@ -115,6 +115,9 @@ def fit(loss_fn: Callable,
         t0 = time.time()
         losses = []
         for ib in range(n_batches):
+            from ..utils import abort
+
+            abort.check()   # cooperative-cancel poll point per batch
             x, y = dataset.get_batch(ib, batch_size)
             params, opt_state, grad_acc, loss = step(
                 params, opt_state, grad_acc, jnp.int32(ib),

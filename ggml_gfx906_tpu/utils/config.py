@@ -1,0 +1,95 @@
+"""Consolidated runtime configuration with env-var tiering.
+
+ref: the reference scatters tunables across env vars and setters
+(GGML_NTHREADS, ggml_backend_*_set_n_threads, the CUDA env knobs in
+src/ggml-cuda/ggml-cuda.cu). Here every knob lives in one registry with a
+fixed precedence: built-in default < GGML_TPU_<NAME> env var < programmatic
+`set()` — and `describe()` lists them all with provenance, so a deployment
+can audit exactly what it runs with.
+
+    from ggml_gfx906_tpu.utils import config
+    config.get("int8_min_m")          # 64
+    config.set("int8_min_m", 128)     # highest precedence
+    config.describe()                 # [(name, value, source, help), ...]
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any, Callable
+
+
+@dataclass
+class _Entry:
+    default: Any
+    parse: Callable[[str], Any]
+    help: str
+
+
+_REGISTRY: dict[str, _Entry] = {}
+_OVERRIDES: dict[str, Any] = {}
+
+
+def _bool(s: str) -> bool:
+    return s.strip().lower() in ("1", "true", "yes", "on")
+
+
+def register(name: str, default, help: str, parse=None):
+    """Declare a knob. parse defaults to the type of `default`."""
+    if parse is None:
+        parse = _bool if isinstance(default, bool) else type(default)
+    _REGISTRY[name] = _Entry(default, parse, help)
+    return name
+
+
+def _env_key(name: str) -> str:
+    return "GGML_TPU_" + name.upper()
+
+
+def get(name: str):
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown config {name!r}; have {sorted(_REGISTRY)}")
+    if name in _OVERRIDES:
+        return _OVERRIDES[name]
+    raw = os.environ.get(_env_key(name))
+    if raw is not None:
+        return _REGISTRY[name].parse(raw)
+    return _REGISTRY[name].default
+
+
+def set(name: str, value) -> None:   # noqa: A001 - mirrors ggml setters
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown config {name!r}; have {sorted(_REGISTRY)}")
+    _OVERRIDES[name] = value
+
+
+def unset(name: str) -> None:
+    _OVERRIDES.pop(name, None)
+
+
+def describe() -> list[tuple[str, Any, str, str]]:
+    """[(name, effective value, source, help)] for every registered knob."""
+    out = []
+    for name, e in sorted(_REGISTRY.items()):
+        if name in _OVERRIDES:
+            src = "override"
+        elif _env_key(name) in os.environ:
+            src = f"env:{_env_key(name)}"
+        else:
+            src = "default"
+        out.append((name, get(name), src, e.help))
+    return out
+
+
+# ---------------------------------------------------------------- knobs
+
+register("int8_min_m", 64,
+         "batch-size threshold at which quantized matmuls switch from the "
+         "f32-expand decode kernels to the integer-MXU prefill kernels "
+         "(0 disables the int8 path)")
+register("engine_chunk_size", 128,
+         "prompt tokens prefilled per engine step during admission "
+         "(smaller = steadier decode cadence, larger = faster admission)")
+register("kv_quant", False,
+         "store serving KV caches as int8 with per-(head,pos) scales")
+register("log_level", "info", "log threshold: debug/info/warn/error")

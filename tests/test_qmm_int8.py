@@ -77,14 +77,15 @@ def test_qmm_int8_exact_when_representable():
 
 
 def test_dispatch_routes_by_m():
-    from ggml_gfx906_tpu.ops.pallas import dispatch
+    from ggml_gfx906_tpu.utils import config
 
+    min_m = config.get("int8_min_m")
     n, k = 64, 256
     w = RNG.standard_normal((n, k)).astype(np.float32)
     qt = qz.QuantTensor.quantize(GGMLType.Q4_K, w)
     dense = np.asarray(qz.dequant(qt))
-    for m in (1, dispatch.INT8_MIN_M):
+    for m in (1, min_m):
         x = RNG.standard_normal((m, k)).astype(np.float32)
         got = np.asarray(qz.qmatmul(jnp.asarray(x), qt))
-        bound = 1e-10 if m < dispatch.INT8_MIN_M else 2e-4
+        bound = 1e-10 if m < min_m else 2e-4
         assert nmse(x @ dense.T, got) < bound

@@ -114,3 +114,36 @@ def test_activation_quantize_matches_codec():
     np.testing.assert_allclose(np.asarray(s2), expect_s, rtol=1e-6)
     rt = O.dequantize_q8(qs, d)
     assert np.abs(np.asarray(rt) - x).max() < np.abs(x).max() / 100
+
+
+def test_mul_mat_id_quant_experts():
+    """QuantTensor expert stacks route through the fused kernels and match
+    the dequantized dense reference."""
+    from ggml_gfx906_tpu.ops.quantized import QuantTensor, dequant
+    from ggml_gfx906_tpu.quant.types import GGMLType
+
+    rng = np.random.default_rng(5)
+    E, N, K, T, U = 4, 32, 256, 6, 2
+    ws = [rng.standard_normal((N, K)).astype(np.float32) for _ in range(E)]
+    qts = [QuantTensor.quantize(GGMLType.Q8_0, w) for w in ws]
+    dense = np.stack([np.asarray(dequant(q)) for q in qts])
+    x = rng.standard_normal((T, U, K)).astype(np.float32)
+    ids = rng.integers(0, E, (T, U)).astype(np.int32)
+    got = np.asarray(ops.mul_mat_id(qts, jnp.asarray(x), jnp.asarray(ids)))
+    want = np.einsum("tuk,tunk->tun", x, dense[ids])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_mul_mat_id_capacity_drops():
+    """capacity < tokens-per-expert zeroes the overflow (GShard-style
+    bounded dispatch) and keeps everything else exact."""
+    rng = np.random.default_rng(6)
+    E, N, K, T = 2, 8, 64, 5
+    experts = rng.standard_normal((E, N, K)).astype(np.float32)
+    x = rng.standard_normal((T, 1, K)).astype(np.float32)
+    ids = np.zeros((T, 1), np.int32)        # all tokens → expert 0
+    got = np.asarray(ops.mul_mat_id(jnp.asarray(experts), jnp.asarray(x),
+                                    jnp.asarray(ids), capacity=3))
+    want = np.einsum("tuk,nk->tun", x[:3], experts[0])
+    np.testing.assert_allclose(got[:3], want, rtol=1e-5, atol=1e-6)
+    assert np.all(got[3:] == 0.0)
