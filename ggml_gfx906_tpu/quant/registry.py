@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from . import kquants, legacy, modern
+from . import iquants, kquants, legacy, modern
 from .types import GGMLType, TYPE_TRAITS, row_size
 
 # codecs accepting an importance matrix (ggml quantize_* chunk API,
@@ -15,6 +15,13 @@ from .types import GGMLType, TYPE_TRAITS, row_size
 _QUANTIZE_IMATRIX = {
     GGMLType.IQ4_NL: modern.quantize_iq4_nl,
     GGMLType.IQ4_XS: modern.quantize_iq4_xs,
+    GGMLType.IQ3_XXS: iquants.quantize_iq3_xxs,
+    GGMLType.IQ3_S: iquants.quantize_iq3_s,
+    GGMLType.IQ2_XXS: iquants.quantize_iq2_xxs,
+    GGMLType.IQ2_XS: iquants.quantize_iq2_xs,
+    GGMLType.IQ2_S: iquants.quantize_iq2_s,
+    GGMLType.IQ1_S: iquants.quantize_iq1_s,
+    GGMLType.IQ1_M: iquants.quantize_iq1_m,
 }
 
 _QUANTIZE = {
@@ -35,6 +42,10 @@ _QUANTIZE = {
     GGMLType.TQ2_0: modern.quantize_tq2_0,
     GGMLType.IQ4_NL: modern.quantize_iq4_nl,
     GGMLType.IQ4_XS: modern.quantize_iq4_xs,
+    GGMLType.IQ3_XXS: iquants.quantize_iq3_xxs,
+    GGMLType.IQ3_S: iquants.quantize_iq3_s,
+    GGMLType.IQ2_S: iquants.quantize_iq2_s,
+    GGMLType.IQ1_M: iquants.quantize_iq1_m,
 }
 
 _DEQUANTIZE = {
@@ -55,6 +66,13 @@ _DEQUANTIZE = {
     GGMLType.TQ2_0: modern.dequantize_tq2_0,
     GGMLType.IQ4_NL: modern.dequantize_iq4_nl,
     GGMLType.IQ4_XS: modern.dequantize_iq4_xs,
+    GGMLType.IQ2_XXS: iquants.dequantize_iq2_xxs,
+    GGMLType.IQ2_XS: iquants.dequantize_iq2_xs,
+    GGMLType.IQ2_S: iquants.dequantize_iq2_s,
+    GGMLType.IQ3_XXS: iquants.dequantize_iq3_xxs,
+    GGMLType.IQ3_S: iquants.dequantize_iq3_s,
+    GGMLType.IQ1_S: iquants.dequantize_iq1_s,
+    GGMLType.IQ1_M: iquants.dequantize_iq1_m,
 }
 
 

@@ -130,6 +130,27 @@ BLOCK_IQ4_XS = np.dtype(
     [("d", "<f2"), ("scales_h", "<u2"), ("scales_l", "u1", (QK_K // 64,)),
      ("qs", "u1", (QK_K // 2,))]
 )
+# codebook i-quants, ref src/ggml-common.h:348-406
+BLOCK_IQ2_XXS = np.dtype([("d", "<f2"), ("qs", "<u2", (QK_K // 8,))])
+BLOCK_IQ2_XS = np.dtype(
+    [("d", "<f2"), ("qs", "<u2", (QK_K // 8,)), ("scales", "u1", (QK_K // 32,))]
+)
+BLOCK_IQ2_S = np.dtype(
+    [("d", "<f2"), ("qs", "u1", (QK_K // 4,)), ("qh", "u1", (QK_K // 32,)),
+     ("scales", "u1", (QK_K // 32,))]
+)
+BLOCK_IQ3_XXS = np.dtype([("d", "<f2"), ("qs", "u1", (3 * QK_K // 8,))])
+BLOCK_IQ3_S = np.dtype(
+    [("d", "<f2"), ("qs", "u1", (QK_K // 4,)), ("qh", "u1", (QK_K // 32,)),
+     ("signs", "u1", (QK_K // 8,)), ("scales", "u1", (QK_K // 64,))]
+)
+BLOCK_IQ1_S = np.dtype(
+    [("d", "<f2"), ("qs", "u1", (QK_K // 8,)), ("qh", "<u2", (QK_K // 32,))]
+)
+BLOCK_IQ1_M = np.dtype(
+    [("qs", "u1", (QK_K // 8,)), ("qh", "u1", (QK_K // 16,)),
+     ("scales", "u1", (QK_K // 32,))]
+)
 
 
 @dataclass(frozen=True)
@@ -205,6 +226,27 @@ TYPE_TRAITS: dict[GGMLType, TypeTraits] = {
     ),
     GGMLType.IQ4_XS: TypeTraits(
         "iq4_xs", QK_K, BLOCK_IQ4_XS.itemsize, True, BLOCK_IQ4_XS, GGMLType.Q8_K
+    ),
+    GGMLType.IQ2_XXS: TypeTraits(
+        "iq2_xxs", QK_K, BLOCK_IQ2_XXS.itemsize, True, BLOCK_IQ2_XXS, GGMLType.Q8_K
+    ),
+    GGMLType.IQ2_XS: TypeTraits(
+        "iq2_xs", QK_K, BLOCK_IQ2_XS.itemsize, True, BLOCK_IQ2_XS, GGMLType.Q8_K
+    ),
+    GGMLType.IQ2_S: TypeTraits(
+        "iq2_s", QK_K, BLOCK_IQ2_S.itemsize, True, BLOCK_IQ2_S, GGMLType.Q8_K
+    ),
+    GGMLType.IQ3_XXS: TypeTraits(
+        "iq3_xxs", QK_K, BLOCK_IQ3_XXS.itemsize, True, BLOCK_IQ3_XXS, GGMLType.Q8_K
+    ),
+    GGMLType.IQ3_S: TypeTraits(
+        "iq3_s", QK_K, BLOCK_IQ3_S.itemsize, True, BLOCK_IQ3_S, GGMLType.Q8_K
+    ),
+    GGMLType.IQ1_S: TypeTraits(
+        "iq1_s", QK_K, BLOCK_IQ1_S.itemsize, True, BLOCK_IQ1_S, GGMLType.Q8_K
+    ),
+    GGMLType.IQ1_M: TypeTraits(
+        "iq1_m", QK_K, BLOCK_IQ1_M.itemsize, True, BLOCK_IQ1_M, GGMLType.Q8_K
     ),
 }
 
