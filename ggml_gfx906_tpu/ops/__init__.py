@@ -13,7 +13,7 @@ from .rope import (  # noqa: F401
     ROPE_TYPE_NORMAL, ROPE_TYPE_VISION,
 )
 from .attention import attention_ref, causal_flash_attn, flash_attn_ext  # noqa: F401
-from .quantized import QuantTensor, dequant, qmatmul  # noqa: F401
+from .quantized import QuantTensor, dequant, qmatmul, to_int8_layout  # noqa: F401
 from .conv import (  # noqa: F401
     add_rel_pos, conv_1d, conv_1d_dw, conv_2d, conv_2d_dw, conv_3d,
     conv_transpose_1d,

@@ -319,6 +319,8 @@ class QuantTensor:
         # chunk padding, so it is taken from the logical shape.
         if self.layout == "kernel":
             n = self.fields["qs" if "qs" in self.fields else "ql"].shape[0]
+        elif self.layout == "int8":
+            n = self.fields["w8t"].shape[1]
         else:
             n = self.fields[_FIELDS[self.qtype][0]].shape[0]
         shp = (n, self.shape[-1])
@@ -327,9 +329,69 @@ class QuantTensor:
         return QuantTensor(self.qtype, shp, self.fields, self.layout)
 
 
+def to_int8_layout(qt: QuantTensor) -> QuantTensor:
+    """Convert any quantized weight to the XLA-native int8 execution
+    layout: values requantized to int8 against the ACTUAL per-(row,
+    128-column-tile) max, plus the f32 tile scales.
+
+    Motivation (measured on the target runtime): Pallas kernels' HBM→VMEM
+    DMA streams at ~19 GB/s here while XLA fusions sustain ~720 GB/s, so
+    HBM-bound decode must run through XLA ops. This layout feeds XLA's
+    native int8 dot via a per-tile segmented contraction (`qmatmul`),
+    streaming 8.25 bpw at full bandwidth — the same requantization error
+    class as the integer-MXU prefill kernels (bounded by tile max / 254)."""
+    w = dequant(qt)                                    # (N, K) f32
+    n, k = w.shape
+    assert k % 128 == 0, (n, k)
+    wt = w.reshape(n, k // 128, 128)
+    amax = jnp.max(jnp.abs(wt), axis=-1)
+    dw = amax / 127.0
+    inv = jnp.where(amax > 0, 127.0 / jnp.where(amax > 0, amax, 1.0), 0.0)
+    w8 = jnp.clip(jnp.round(wt * inv[..., None]), -127.0, 127.0)
+    # stored tile-major (Kt, N, 128): the segmented contraction batches
+    # over tiles, and a row-major (N, K) layout would make XLA materialize
+    # a full transposed copy of the weights EVERY matmul (measured: caps
+    # decode at ~50 GB/s; tile-major streams at fusion speed)
+    w8t = jnp.swapaxes(w8.astype(jnp.int8), 0, 1)      # (Kt, N, 128)
+    return QuantTensor(qt.qtype, qt.shape,
+                       {"w8t": w8t, "dwt": dw.T}, "int8")
+
+
+def _int8_layout_matmul(x: jax.Array, qt: QuantTensor) -> jax.Array:
+    """x (..., K) @ int8-layout weight → (..., N) f32, all XLA ops.
+
+    Per-tile integer contraction: both operands int8 per 128-column tile,
+    partial int32 sums scaled by the rank-1 (activation ⊗ weight) f32 tile
+    scales and reduced over tiles — the XLA mirror of the Pallas int8
+    kernels' math (exact integer dots, two bounded roundings)."""
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    n = qt.shape[0]
+    kt = k // 128
+    x2 = x.reshape(-1, kt, 128).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x2), axis=-1)
+    ex = amax / 127.0
+    inv = jnp.where(amax > 0, 127.0 / jnp.where(amax > 0, amax, 1.0), 0.0)
+    qx = jnp.clip(jnp.round(x2 * inv[..., None]), -127.0, 127.0) \
+        .astype(jnp.int8)
+    # (kt, m, 128) ⋅ (kt, n, 128) → (kt, m, n) int32 (native int8 MXU);
+    # weights are stored tile-major so no transpose is materialized
+    prod = jax.lax.dot_general(
+        jnp.swapaxes(qx, 0, 1), qt.fields["w8t"],
+        (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.int32)
+    scaled = (prod.astype(jnp.float32)
+              * ex.T[:, :, None] * qt.fields["dwt"][:, None, :])
+    return scaled.sum(0).reshape(*lead, n)
+
+
 def dequant(qt: QuantTensor, dtype=jnp.float32) -> jax.Array:
-    """Expand to a dense array of qt.shape (bit-exact f32 w.r.t. the C ref)."""
-    if qt.layout == "kernel":
+    """Expand to a dense array of qt.shape (bit-exact f32 w.r.t. the C ref;
+    the int8 execution layout reproduces its requantized values)."""
+    if qt.layout == "int8":
+        n, k = qt.shape
+        w8 = jnp.swapaxes(qt.fields["w8t"], 0, 1).astype(jnp.float32)
+        y = (w8 * qt.fields["dwt"].T[..., None]).reshape(n, k)
+    elif qt.layout == "kernel":
         y = _dequant_kernel_layout(qt)
     else:
         fn = _DEQUANT_WIRE[qt.qtype]
@@ -345,6 +407,8 @@ def qmatmul(x: jax.Array, w: QuantTensor | jax.Array,
     take the XLA dequant-then-dot fallback. f32 fallback pins HIGHEST
     precision (XLA's default silently rounds through bf16 on TPU)."""
     if isinstance(w, QuantTensor):
+        if w.layout == "int8":
+            return _int8_layout_matmul(x, w).astype(x.dtype)
         if w.layout == "kernel":
             from .pallas import dispatch
 

@@ -89,3 +89,36 @@ def test_dispatch_routes_by_m():
         got = np.asarray(qz.qmatmul(jnp.asarray(x), qt))
         bound = 1e-10 if m < min_m else 2e-4
         assert nmse(x @ dense.T, got) < bound
+
+
+def test_int8_execution_layout_matches_dense():
+    """The XLA-native int8 decode layout (per-128-tile requantization,
+    segmented integer contraction) must match the dequantized dense matmul
+    within the int8-rounding error class at any M."""
+    n, k = 96, 512
+    w = RNG.standard_normal((n, k)).astype(np.float32)
+    qt = qz.QuantTensor.quantize(GGMLType.Q4_K, w)
+    qt8 = qz.to_int8_layout(qt)
+    assert qt8.layout == "int8"
+    dense = np.asarray(qz.dequant(qt))
+    for m in (1, 7, 64):
+        x = RNG.standard_normal((m, k)).astype(np.float32)
+        got = np.asarray(qz.qmatmul(jnp.asarray(x), qt8))
+        assert got.shape == (m, n)
+        assert nmse(x @ dense.T, got) < 2e-4
+    # dequant of the int8 layout reproduces its own values exactly
+    d8 = np.asarray(qz.dequant(qt8))
+    w8 = np.asarray(qt8.fields["w8t"]).transpose(1, 0, 2)
+    dw = np.asarray(qt8.fields["dwt"]).T
+    np.testing.assert_array_equal(
+        d8, (w8.astype(np.float32) * dw[..., None]).reshape(n, k))
+
+
+def test_int8_layout_batched_shapes():
+    n, k = 64, 256
+    qt8 = qz.to_int8_layout(
+        qz.QuantTensor.quantize(GGMLType.Q8_0,
+                                RNG.standard_normal((n, k)).astype(np.float32)))
+    x = jnp.asarray(RNG.standard_normal((2, 3, k)).astype(np.float32))
+    y = qz.qmatmul(x, qt8)
+    assert y.shape == (2, 3, n)
