@@ -320,7 +320,12 @@ class QuantTensor:
         if self.layout == "kernel":
             n = self.fields["qs" if "qs" in self.fields else "ql"].shape[0]
         elif self.layout == "int8":
-            n = self.fields["w8t"].shape[1]
+            # tile-major fields carry both axes: rows on 1, K-tiles on 0
+            w8t = self.fields["w8t"]
+            shp = (w8t.shape[1], w8t.shape[0] * 128)
+            if shp == tuple(self.shape):
+                return self
+            return QuantTensor(self.qtype, shp, self.fields, self.layout)
         else:
             n = self.fields[_FIELDS[self.qtype][0]].shape[0]
         shp = (n, self.shape[-1])

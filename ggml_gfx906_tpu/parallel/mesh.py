@@ -32,12 +32,17 @@ def shard_array(mesh: Mesh, x, spec: P):
 
 
 def shard_quant_tensor(mesh: Mesh, qt: QuantTensor, spec: P) -> QuantTensor:
-    """Shard a quantized weight. Block fields share the row axis layout, so a
-    row-sharded weight (P('tp', None)) shards every field on axis 0 — the
-    direct analogue of the CUDA split-buffer row ranges."""
+    """Shard a quantized weight. Wire/kernel-layout block fields share the
+    row axis layout, so a row-sharded weight (P('tp', None)) shards every
+    field on axis 0 — the direct analogue of the CUDA split-buffer row
+    ranges. The tile-major int8 execution layout stores rows on axis 1
+    (w8t (Kt, N, 128) / dwt (Kt, N)), so its row axis maps there."""
     assert len(spec) <= len(qt.shape)
     row_axis = spec[0] if len(spec) > 0 else None
-    fspec = lambda a: P(row_axis, *([None] * (a.ndim - 1)))
+    if qt.layout == "int8":
+        fspec = lambda a: P(None, row_axis, *([None] * (a.ndim - 2)))
+    else:
+        fspec = lambda a: P(row_axis, *([None] * (a.ndim - 1)))
     fields = {k: jax.device_put(v, NamedSharding(mesh, fspec(v)))
               for k, v in qt.fields.items()}
     return QuantTensor(qt.qtype, qt.shape, fields, qt.layout)

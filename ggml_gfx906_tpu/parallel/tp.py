@@ -41,19 +41,43 @@ def _is_qt(x):
     return isinstance(x, QuantTensor)
 
 
+def _weight_spec(x, wspec: P):
+    """Spec subtree for one weight. Kernel/wire QuantTensor fields are
+    axis-proportional to the logical (N, K), so the weight-level P applies
+    to every field as a prefix; the tile-major int8 layout needs per-field
+    specs (rows on axis 1), expressed as a QuantTensor of PartitionSpecs
+    whose treedef matches the weight's."""
+    if _is_qt(x) and x.layout == "int8":
+        fs = _field_spec(x, wspec)
+        return QuantTensor(x.qtype, x.shape,
+                           {k: fs(v) for k, v in x.fields.items()},
+                           x.layout)
+    return wspec
+
+
 def llama_param_specs(params: dict):
-    """PartitionSpec pytree (prefix tree: one P per weight, covering all of a
-    QuantTensor's fields) for a llama param dict."""
-    specs = {k: REP for k in params if k != "blocks"}
-    specs["blocks"] = [{k: _BLOCK_RULES.get(k, REP) for k in blk}
-                      for blk in params["blocks"]]
+    """PartitionSpec pytree (prefix tree: one P per weight — or a
+    field-level subtree where the layout demands it) for a llama param
+    dict."""
+    specs = {k: _weight_spec(v, REP)
+             for k, v in params.items() if k != "blocks"}
+    specs["blocks"] = [
+        {k: _weight_spec(v, _BLOCK_RULES.get(k, REP)) for k, v in blk.items()}
+        for blk in params["blocks"]]
     return specs
 
 
 def _field_spec(x, spec: P):
     """Per-field spec for a QuantTensor under weight-level `spec` — kernel
     layout fields are 2-D and axis-proportional, so the spec passes through;
-    wire-layout fields may be 3-D (row axis first)."""
+    the tile-major int8 execution layout keeps rows on axis 1 and K-tiles
+    on axis 0 (w8t (Kt, N, 128) / dwt (Kt, N))."""
+    if x.layout == "int8":
+        if spec == ROW:
+            return lambda a: P(None, "tp", *([None] * (a.ndim - 2)))
+        if spec == COL:
+            return lambda a: P("tp", *([None] * (a.ndim - 1)))
+        return lambda a: P(*([None] * a.ndim))
     if spec == ROW:
         return lambda a: P("tp", *([None] * (a.ndim - 1)))
     if spec == COL:
@@ -71,7 +95,8 @@ def shard_llama_params(mesh: Mesh, params: dict) -> dict:
         if _is_qt(x):
             tp = mesh.shape.get("tp", 1)
             if spec == COL:
-                assert (x.shape[1] // tp) % 256 == 0, (x.shape, tp)
+                gran = 128 if x.layout == "int8" else 256
+                assert (x.shape[1] // tp) % gran == 0, (x.shape, tp)
             if spec == ROW:
                 assert x.shape[0] % tp == 0, (x.shape, tp)
             fs = _field_spec(x, spec)

@@ -113,9 +113,15 @@ def hbm_gbs() -> float:
 
 
 def _time_fn(fn, x_batch, *extra, iters=20, rounds=3):
-    """Time `fn(x, *extra)` per iteration. Hard-won measurement rules:
+    """Time `fn(x, *extra)` per iteration via the SLOPE method. Hard-won
+    measurement rules:
     - per-dispatch host timing measures the axon tunnel (~2-4 ms), not the
       op — iterations are unrolled inside ONE compiled program
+    - a single program's wall time carries a large fixed per-execution
+      cost (tunnel launch + value fetch, tens of ms); dividing by iters
+      bakes that into the answer. Two programs with different unroll
+      counts are timed and the SLOPE Δt/Δiters cancels every
+      per-execution term — the same trick as measure_hbm_bw.
     - weights must be ARGUMENTS: closure-captured device arrays become jit
       constants which this runtime re-uploads per execution
     - distinct inputs per iteration prevent CSE *within* the program, and
@@ -126,20 +132,26 @@ def _time_fn(fn, x_batch, *extra, iters=20, rounds=3):
     import jax
 
     assert x_batch.shape[0] >= (rounds + 1) * iters, x_batch.shape
+    lo = max(1, iters // 4)
 
-    def many(xs, *ex):
-        return [fn(xs[i], *ex) for i in range(iters)]
+    def make(n):
+        def many(xs, *ex):
+            return [fn(xs[i], *ex) for i in range(n)]
+        return jax.jit(many)
 
-    f = jax.jit(many)
-    device_sync(f(x_batch[:iters], *extra))
-    best = float("inf")
+    f_lo, f_hi = make(lo), make(iters)
+    device_sync(f_lo(x_batch[:lo], *extra))
+    device_sync(f_hi(x_batch[:iters], *extra))
+    best_lo = best_hi = float("inf")
     for r in range(1, rounds + 1):
         xs = x_batch[r * iters:(r + 1) * iters]
         t0 = time.time()
-        out = f(xs, *extra)
-        device_sync(out[-1])   # value fetch = the only real completion mark
-        best = min(best, time.time() - t0)
-    return best / iters
+        device_sync(f_lo(xs[:lo], *extra)[-1])
+        best_lo = min(best_lo, time.time() - t0)
+        t0 = time.time()
+        device_sync(f_hi(xs, *extra)[-1])
+        best_hi = min(best_hi, time.time() - t0)
+    return max(best_hi - best_lo, 1e-9) / (iters - lo)
 
 
 def _random_qt(rng, qtype, n, k):

@@ -105,3 +105,23 @@ def test_dp_tp_batched_forward_matches_single(qparams):
     # greedy next tokens agree per slot
     assert list(np.asarray(got[:, -1].argmax(-1))) == \
         list(np.asarray(ref[:, -1].argmax(-1)))
+
+
+def test_tp2_int8_layout_forward_matches_single(qparams):
+    """The tile-major int8 execution layout row-shards on its own row axis
+    (axis 1 of w8t/dwt) and must match the unsharded int8 forward."""
+    from ggml_gfx906_tpu.ops.quantized import to_int8_layout
+
+    p8 = jax.tree.map(
+        lambda t: to_int8_layout(t) if isinstance(t, QuantTensor) else t,
+        qparams, is_leaf=lambda t: isinstance(t, QuantTensor))
+    mesh = make_mesh(dp=1, tp=2)
+    sparams = shard_llama_params(mesh, p8)
+    toks = jnp.asarray([3, 100, 57, 501, 9], jnp.int32)
+    ref, _ = llama.forward(CFG, p8, toks, llama.make_cache(CFG, 128),
+                           jnp.int32(0))
+    got, _ = tp_forward(mesh, CFG, sparams, toks,
+                        llama.make_cache(CFG, 128), jnp.int32(0))
+    ref, got = np.asarray(ref), np.asarray(got)
+    nmse = ((got - ref) ** 2).sum() / (ref ** 2).sum()
+    assert nmse < 1e-9, nmse
