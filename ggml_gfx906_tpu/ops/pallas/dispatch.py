@@ -7,7 +7,8 @@ from . import qmm
 
 KERNEL_TYPES = {GGMLType.Q4_K, GGMLType.Q8_0, GGMLType.Q4_0,
                 GGMLType.Q6_K, GGMLType.Q5_K, GGMLType.Q4_1,
-                GGMLType.Q5_0, GGMLType.Q5_1}
+                GGMLType.Q5_0, GGMLType.Q5_1, GGMLType.Q2_K,
+                GGMLType.Q3_K}
 
 # integer-MXU (int8×int8→int32) prefill kernels — the reference's mmq/V_DOT
 # analogue (src/ggml-cuda/mmq.cu, quantize.cu). Decode (small M) stays on
@@ -51,6 +52,10 @@ def matmul(x, qt):
         out = qmm.qmm_q5_0(x2, f["qs"], f["qh"], f["d"])
     elif qt.qtype == GGMLType.Q5_1:
         out = qmm.qmm_q5_1(x2, f["qs"], f["qh"], f["d"], f["m"])
+    elif qt.qtype == GGMLType.Q2_K:
+        out = qmm.qmm_q2_K(x2, f["qs"], f["scm"], f["dq"], f["dm"])
+    elif qt.qtype == GGMLType.Q3_K:
+        out = qmm.qmm_q3_K(x2, f["qs"], f["hm"], f["sc"], f["dq"])
     else:
         raise KeyError(qt.qtype)
     return out.reshape(*lead, qt.shape[0])

@@ -800,3 +800,139 @@ def qmm_q5_1(x, qs_k, qh_k, d_k, m_k):
     return _common_call(_q51_kernel, m, n, kt, tm, tn,
                         [xk], [1024],
                         [qs_k, qh_k, d_k, m_k], [512, 128, 32, 32])
+
+
+# ------------------------------------------------- Q2_K / Q3_K (packed)
+# Both store four 2-bit element planes per qs byte (shifts 0/2/4/6); a
+# chunk of 2 superblocks fills one 128-byte qs lane tile. Element-tile
+# lane = 8·jj + b with b = sb_loc·4 + h·2 + s (h = 128-half, s = 16-group,
+# jj = j % 16) so the per-16 scales expand with one pltpu.repeat of an
+# 8-lane slice. Q2_K: w = q·(sc_lo·d) − (sc_hi·dmin). Q3_K: the hmask high
+# bit (1 bit/elem, one byte per j serving all 8 (h,t) planes) streams at
+# wire density by replicating each byte to its two h-lanes and shifting by
+# the per-lane plane index; w = (q − (1−hibit)·4)·(sc·d) with 6-bit signed
+# scales. ref: src/ggml-common.h block_q2_K/q3_K; scalar dequant
+# src/ggml-quants.c dequantize_row_q2_K/q3_K.
+
+def _q2k_kernel(x_ref, qs_ref, scm_ref, dq_ref, dm_ref, out_ref, *, kt: int):
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for c in range(kt):
+        qt = _widen(qs_ref[:, c * 128:(c + 1) * 128])
+        s32 = _widen(scm_ref[:, c * 32:(c + 1) * 32])
+        d8 = dq_ref[:, c * 8:(c + 1) * 8]
+        m8 = dm_ref[:, c * 8:(c + 1) * 8]
+        for t in range(4):
+            sc_t = s32[:, t * 8:(t + 1) * 8]
+            dl = pltpu.repeat((sc_t & 0xF).astype(jnp.float32) * d8, 16,
+                              axis=1)
+            ml = pltpu.repeat((sc_t >> 4).astype(jnp.float32) * m8, 16,
+                              axis=1)
+            w = ((qt >> (2 * t)) & 3).astype(jnp.float32) * dl - ml
+            acc += _dot_nt(
+                x_ref[:, c * 512 + t * 128:c * 512 + (t + 1) * 128], w)
+    out_ref[...] = acc
+
+
+def _q3k_kernel(x_ref, qs_ref, hm_ref, sc_ref, dq_ref, out_ref, *, kt: int):
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    # plane shift of the duplicated hmask byte: h·4 + t with h = (lane//2)%2
+    hsh = (jax.lax.broadcasted_iota(
+        jnp.int32, (qs_ref.shape[0], 128), 1) // 2) % 2 * 4
+    for c in range(kt):
+        qt = _widen(qs_ref[:, c * 128:(c + 1) * 128])
+        hb = _widen(hm_ref[:, c * 128:(c + 1) * 128])
+        s32 = _widen(sc_ref[:, c * 32:(c + 1) * 32])   # int8 signed scales
+        d8 = dq_ref[:, c * 8:(c + 1) * 8]
+        for t in range(4):
+            dl = pltpu.repeat(
+                s32[:, t * 8:(t + 1) * 8].astype(jnp.float32) * d8, 16,
+                axis=1)
+            hi = (hb >> (hsh + t)) & 1
+            q = ((qt >> (2 * t)) & 3) - (1 - hi) * 4
+            acc += _dot_nt(
+                x_ref[:, c * 512 + t * 128:c * 512 + (t + 1) * 128],
+                q.astype(jnp.float32) * dl)
+    out_ref[...] = acc
+
+
+def _q23_perm(nbp):
+    """(sb2, h2, j32) byte index → chunk lane 8·(j%16) + sb·4 + h·2 + j//16
+    (as a reshape/transpose: j = s·16 + jj with s = j//16)."""
+    return None  # documented inline in the layout functions
+
+
+def q2k_weight_layout(qs, scales, d, dmin):
+    """Wire (N, nb, 64) u8 qs, (N, nb, 16) u8 scales, (N, nb) d/dmin →
+    chunked kernel operands (nb zero-padded to even)."""
+    import numpy as _np
+
+    n, nb = qs.shape[:2]
+    (qs, scales, d, dmin), nbp = _pad_blocks(
+        n, [qs, scales, _np.asarray(d, _np.float32),
+            _np.asarray(dmin, _np.float32)], nb, 2)
+    ch = nbp // 2
+    # qs wire byte = h*32 + j → lane 8*(j%16) + sb*4 + h*2 + j//16
+    qr = qs.reshape(n, ch, 2, 2, 2, 16)            # (c, sb, h, s, jj)
+    qs_k = qr.transpose(0, 1, 5, 2, 3, 4).reshape(n, nbp * 64)
+    # scales wire idx = h*8 + t*2 + s → (c, t, sb, h, s)
+    scr = scales.reshape(n, ch, 2, 2, 4, 2)        # (c, sb, h, t, s)
+    scm = scr.transpose(0, 1, 4, 2, 3, 5).reshape(n, nbp * 16)
+    dq = _np.repeat(d, 4, axis=1)                  # (n, nbp*4)
+    dm = _np.repeat(dmin, 4, axis=1)
+    return qs_k, scm, dq, dm
+
+
+def q3k_weight_layout(qs, hmask, scales_i8, d):
+    """Wire (N, nb, 64) u8 qs, (N, nb, 32) u8 hmask, (N, nb, 16) i8
+    unpacked signed scales, (N, nb) d → chunked operands. hmask bytes are
+    duplicated across the two h-lanes (2 bpw streamed vs 1 wire)."""
+    import numpy as _np
+
+    n, nb = qs.shape[:2]
+    (qs, hmask, scales_i8, d), nbp = _pad_blocks(
+        n, [qs, hmask, scales_i8, _np.asarray(d, _np.float32)], nb, 2)
+    ch = nbp // 2
+    qr = qs.reshape(n, ch, 2, 2, 2, 16)
+    qs_k = qr.transpose(0, 1, 5, 2, 3, 4).reshape(n, nbp * 64)
+    # hmask wire byte = j (no h axis) → duplicate to both h lanes
+    hm2 = _np.repeat(hmask.reshape(n, ch, 2, 1, 32), 2, axis=3)  # (c,sb,h,j)
+    hmr = hm2.reshape(n, ch, 2, 2, 2, 16)          # (c, sb, h, s, jj)
+    hm_k = hmr.transpose(0, 1, 5, 2, 3, 4).reshape(n, nbp * 64)
+    scr = scales_i8.reshape(n, ch, 2, 2, 4, 2)
+    sc_k = scr.transpose(0, 1, 4, 2, 3, 5).reshape(n, nbp * 16)
+    dq = _np.repeat(d, 4, axis=1)
+    return qs_k, hm_k, sc_k, dq
+
+
+def q23_split_x(x):
+    """x (M, K) → (M, Kp) in Q2_K/Q3_K kernel element order (chunks of
+    512 = 2 superblocks; element e = h·128 + t·32 + s·16 + jj)."""
+    m, kdim = x.shape
+    kp = _cdiv(kdim, 512) * 512
+    xp = _pad_x_lanes(x.astype(jnp.float32), kp)
+    xr = xp.reshape(m, kp // 512, 2, 2, 4, 2, 16)  # (c, sb, h, t, s, jj)
+    return jnp.transpose(xr, (0, 1, 4, 6, 2, 3, 5)).reshape(m, kp)
+
+
+def qmm_q2_K(x, qs_k, scm, dq, dm):
+    m = x.shape[0]
+    n = qs_k.shape[0]
+    kt = qs_k.shape[1] // 128                      # chunks
+    xk = q23_split_x(x)
+    assert xk.shape[1] == kt * 512, (x.shape, qs_k.shape)
+    tm, tn = _pick_mn(m, n)
+    return _common_call(_q2k_kernel, m, n, kt, tm, tn,
+                        [xk], [512],
+                        [qs_k, scm, dq, dm], [128, 32, 8, 8])
+
+
+def qmm_q3_K(x, qs_k, hm_k, sc_k, dq):
+    m = x.shape[0]
+    n = qs_k.shape[0]
+    kt = qs_k.shape[1] // 128
+    xk = q23_split_x(x)
+    assert xk.shape[1] == kt * 512, (x.shape, qs_k.shape)
+    tm, tn = _pick_mn(m, n)
+    return _common_call(_q3k_kernel, m, n, kt, tm, tn,
+                        [xk], [512],
+                        [qs_k, hm_k, sc_k, dq], [128, 128, 32, 8])

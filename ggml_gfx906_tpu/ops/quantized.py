@@ -50,6 +50,8 @@ _KFIELDS = {
     GGMLType.Q4_1: ("qs", "d", "m"),
     GGMLType.Q5_0: ("qs", "qh", "d"),
     GGMLType.Q5_1: ("qs", "qh", "d", "m"),
+    GGMLType.Q2_K: ("qs", "scm", "dq", "dm"),
+    GGMLType.Q3_K: ("qs", "hm", "sc", "dq"),
 }
 
 _DEQUANT_WIRE = {
@@ -115,6 +117,21 @@ def _to_kernel_layout(qtype: GGMLType, blocks: np.ndarray) -> dict:
             np.ascontiguousarray(blocks["scales"]),
             np.ascontiguousarray(blocks["d"]).astype(np.float32))
         return {"ql": ql_k, "qh": qh_k, "sc": sc_k, "dq": dq}
+    if qtype == GGMLType.Q2_K:
+        qs_k, scm, dq, dm = qmm.q2k_weight_layout(
+            np.ascontiguousarray(blocks["qs"]),
+            np.ascontiguousarray(blocks["scales"]),
+            np.ascontiguousarray(blocks["d"]).astype(np.float32),
+            np.ascontiguousarray(blocks["dmin"]).astype(np.float32))
+        return {"qs": qs_k, "scm": scm, "dq": dq, "dm": dm}
+    if qtype == GGMLType.Q3_K:
+        sc16 = dqm.unpack_q3_scales(
+            np, np.ascontiguousarray(blocks["scales"])).astype(np.int8)
+        qs_k, hm_k, sc_k, dq = qmm.q3k_weight_layout(
+            np.ascontiguousarray(blocks["qs"]),
+            np.ascontiguousarray(blocks["hmask"]), sc16,
+            np.ascontiguousarray(blocks["d"]).astype(np.float32))
+        return {"qs": qs_k, "hm": hm_k, "sc": sc_k, "dq": dq}
     if qtype == GGMLType.Q5_K:
         sc, mm = dqm.unpack_scale_min_k4(np, np.ascontiguousarray(blocks["scales"]))
         ql_k, qh_k, scm, d32, dmin32 = qmm.q5k_weight_layout(
@@ -193,6 +210,39 @@ def _dequant_kernel_layout(qt: "QuantTensor") -> jax.Array:
             m_ = f["m"].reshape(n, ch, 4, 8)[..., None, None, None]
             w = q5 * d + m_
         return w.reshape(n, ch * 1024)[:, :kdim]
+    if qt.qtype in (GGMLType.Q2_K, GGMLType.Q3_K):
+        kdim = qt.shape[-1]
+        ch = f["qs"].shape[1] // 128
+        # invert lane = jj*8 + sb*4 + h*2 + s (qmm.q2k/q3k_weight_layout);
+        # element within a superblock: e = h*128 + t*32 + s*16 + jj
+        qr = f["qs"].reshape(n, ch, 16, 2, 2, 2)           # (c,jj,sb,h,s)
+        q_w = jnp.transpose(qr, (0, 1, 3, 4, 5, 2)).astype(jnp.int32)
+        t4 = jnp.arange(4, dtype=jnp.int32)
+        planes = (q_w[:, :, :, :, None] >>
+                  (2 * t4)[None, None, None, None, :, None, None]) & 3
+        # planes: (n, c, sb, h, t, s, jj)
+        d = f["dq"][:, ::4].reshape(n, ch, 2)              # (c, sb)
+        if qt.qtype == GGMLType.Q2_K:
+            scr = f["scm"].reshape(n, ch, 4, 2, 2, 2)      # (c,t,sb,h,s)
+            sc_w = jnp.transpose(scr, (0, 1, 3, 4, 2, 5))  # (c,sb,h,t,s)
+            dmin = f["dm"][:, ::4].reshape(n, ch, 2)
+            dl = d[..., None, None, None] * (sc_w & 0xF).astype(jnp.float32)
+            ml = dmin[..., None, None, None] * (sc_w >> 4).astype(jnp.float32)
+            w = planes.astype(jnp.float32) * dl[..., None] - ml[..., None]
+        else:
+            hr = f["hm"].reshape(n, ch, 16, 2, 2, 2)       # (c,jj,sb,h,s)
+            hm_w = jnp.transpose(hr, (0, 1, 3, 4, 5, 2)).astype(jnp.int32)
+            sh = (4 * jnp.arange(2, dtype=jnp.int32)[:, None]
+                  + t4[None, :])                           # (h, t)
+            hbits = (hm_w[:, :, :, :, None] >>
+                     sh[None, None, None, :, :, None, None]) & 1
+            sc_w = jnp.transpose(
+                f["sc"].reshape(n, ch, 4, 2, 2, 2),
+                (0, 1, 3, 4, 2, 5)).astype(jnp.float32)    # (c,sb,h,t,s)
+            dl = d[..., None, None, None] * sc_w
+            qsgn = (planes - (1 - hbits) * 4).astype(jnp.float32)
+            w = qsgn * dl[..., None]
+        return w.reshape(n, ch * 512)[:, :kdim]
     if qt.qtype == GGMLType.Q6_K:
         kdim = qt.shape[-1]
         ch = f["ql"].shape[1] // 256

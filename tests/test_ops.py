@@ -49,7 +49,8 @@ def test_qmatmul(qtype):
     assert nmse(expect, got) < 1e-10
 
 
-@pytest.mark.parametrize("qtype", [GGMLType.Q5_K, GGMLType.Q6_K])
+@pytest.mark.parametrize("qtype", [GGMLType.Q5_K, GGMLType.Q6_K,
+                                   GGMLType.Q2_K, GGMLType.Q3_K])
 def test_qmatmul_odd_superblocks(qtype):
     """K = 3 superblocks exercises the packed kernels' chunk zero-padding
     (Q6_K chunks are 2 superblocks, Q5_K 4 — padded blocks must contribute
