@@ -2,9 +2,14 @@
 
 ref: examples/common-ggml.cpp:41 ggml_common_quantize_0 (per-tensor loop:
 2-D matmul weights → target type, everything else passes through; prints
-per-tensor stats and the size reduction) + examples/gpt-2/quantize.cpp.
+per-tensor stats and the size reduction) + examples/gpt-2/quantize.cpp;
+imatrix-aware quantization mirrors ggml_quantize_chunk's quant_weights
+argument (include/ggml.h:2406-2416 — REQUIRED for IQ2_XXS/XS and
+IQ1_S/M; collect one with models/imatrix.py).
 
     python -m ggml_gfx906_tpu.models.quantize_cli in.gguf out.gguf q4_K
+    python -m ggml_gfx906_tpu.models.quantize_cli in.gguf out.gguf iq2_xxs \
+        --imatrix cal.imatrix.npz
 """
 from __future__ import annotations
 
@@ -15,12 +20,18 @@ import time
 import numpy as np
 
 from ..gguf import GGUFReader, GGUFWriter
-from ..quant import GGMLType, TYPE_TRAITS, quantize_to_bytes
+from ..quant import GGMLType, TYPE_TRAITS
+from ..quant.registry import (
+    _QUANTIZE_IMATRIX, quantize, supported_quant_types)
 from .convert import QUANT_PATTERNS
 import re
 
+# formats whose reference quantizer asserts on a missing imatrix
+IMATRIX_REQUIRED = {GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ1_S}
 
-def quantize_gguf(src_path, dst_path, ftype: GGMLType, verbose: bool = True):
+
+def quantize_gguf(src_path, dst_path, ftype: GGMLType, verbose: bool = True,
+                  imatrix: dict | None = None):
     r = GGUFReader(src_path)
     w = GGUFWriter(alignment=r.alignment)
     for key, value in r.kv.items():
@@ -37,7 +48,15 @@ def quantize_gguf(src_path, dst_path, ftype: GGMLType, verbose: bool = True):
                     and ti.ne[0] % TYPE_TRAITS[ftype].blck_size == 0)
         if eligible:
             data = r.tensor_float(name).astype(np.float32)
-            raw = quantize_to_bytes(ftype, data)
+            qw = imatrix.get(name) if imatrix else None
+            if ftype in IMATRIX_REQUIRED and qw is None:
+                raise ValueError(
+                    f"{TYPE_TRAITS[ftype].name} requires an imatrix entry "
+                    f"for {name!r} (--imatrix, models/imatrix.py)")
+            if qw is not None and ftype not in _QUANTIZE_IMATRIX:
+                qw = None          # type has no imatrix-aware path
+            raw = np.ascontiguousarray(
+                quantize(ftype, data, qw)).tobytes()
             out_type = ftype
         else:
             raw = np.ascontiguousarray(r.tensor_bytes(name)).tobytes()
@@ -61,11 +80,13 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description="Quantize a GGUF model")
     ap.add_argument("src")
     ap.add_argument("dst")
+    all_types = sorted(set(supported_quant_types()) | set(_QUANTIZE_IMATRIX))
     ap.add_argument("type", help="target type: " + ", ".join(
-        t.name.lower() for t in
-        [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1,
-         GGMLType.Q8_0, GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K,
-         GGMLType.Q5_K, GGMLType.Q6_K]))
+        t.name.lower() for t in all_types))
+    ap.add_argument("--imatrix", help="importance matrix .npz "
+                    "(models/imatrix.py output; required for "
+                    + ", ".join(t.name.lower() for t in IMATRIX_REQUIRED)
+                    + ")")
     ap.add_argument("-q", "--quiet", action="store_true")
     args = ap.parse_args(argv)
     try:
@@ -76,7 +97,9 @@ def main(argv=None):
     if not TYPE_TRAITS[ftype].is_quantized:
         print(f"error: {args.type} is not a quantized type", file=sys.stderr)
         return 1
-    quantize_gguf(args.src, args.dst, ftype, verbose=not args.quiet)
+    im = dict(np.load(args.imatrix)) if args.imatrix else None
+    quantize_gguf(args.src, args.dst, ftype, verbose=not args.quiet,
+                  imatrix=im)
     return 0
 
 

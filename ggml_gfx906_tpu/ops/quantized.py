@@ -342,6 +342,25 @@ class QuantTensor:
         if use_kernel:
             fields_np = _to_kernel_layout(qtype, blocks)
             layout = "kernel"
+        elif qtype not in _FIELDS:
+            # formats without a device-side wire dequant (MXFP4, ternary,
+            # IQ4, codebook i-quants): load straight into the tile-major
+            # int8 execution layout — numpy-side, so any registry codec
+            # works; runs on the XLA segmented-integer-dot path
+            from ..quant.registry import dequantize
+
+            w = dequantize(qtype, blocks).reshape(shape).astype(np.float32)
+            assert w.ndim == 2 and w.shape[1] % 128 == 0, shape
+            wt = w.reshape(w.shape[0], w.shape[1] // 128, 128)
+            amax = np.abs(wt).max(-1)
+            dw = (amax / 127.0).astype(np.float32)
+            inv = np.where(amax > 0, 127.0 / np.where(amax > 0, amax, 1.0),
+                           0.0)
+            w8 = np.clip(np.round(wt * inv[..., None]), -127, 127)
+            fields_np = {"w8t": np.ascontiguousarray(
+                             w8.astype(np.int8).transpose(1, 0, 2)),
+                         "dwt": np.ascontiguousarray(dw.T)}
+            layout = "int8"
         else:
             fields_np = {name: np.ascontiguousarray(blocks[name])
                          for name in _FIELDS[qtype]}
