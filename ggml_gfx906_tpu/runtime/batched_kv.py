@@ -34,8 +34,10 @@ class BatchedKVCache:
     def create(cls, n_layer: int, max_batch: int, max_seq: int,
                n_kv_head: int, head_dim: int, dtype=jnp.float32):
         shape = (max_batch, n_kv_head, max_seq, head_dim)
-        return cls(tuple(jnp.zeros(shape, dtype) for _ in range(n_layer)),
-                   tuple(jnp.zeros(shape, dtype) for _ in range(n_layer)),
+        # one allocation sliced apart — see runtime/kv_cache.py::create
+        buf = jnp.zeros((2 * n_layer,) + shape, dtype)
+        return cls(tuple(buf[i] for i in range(n_layer)),
+                   tuple(buf[n_layer + i] for i in range(n_layer)),
                    jnp.zeros((max_batch,), jnp.int32))
 
     @property

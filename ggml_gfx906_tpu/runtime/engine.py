@@ -62,16 +62,31 @@ class Engine:
     make_cache (models/llama.py)."""
 
     def __init__(self, model_mod, cfg, params, max_batch: int = 8,
-                 max_seq: int = 1024, chunk_size: int | None = None):
+                 max_seq: int = 1024, chunk_size: int | None = None,
+                 mesh=None):
+        """mesh: optional dp×tp jax Mesh — decode/prefill then run through
+        parallel/tp.py's shard_map programs (params must come from
+        shard_llama_params; the KV pool is created head-sharded). The host
+        scheduling logic is identical either way."""
         self.m = model_mod
         self.cfg = cfg
         self.params = params
         self.max_batch = max_batch
         self.max_seq = max_seq
         self.chunk_size = chunk_size or config.get("engine_chunk_size")
+        self.mesh = mesh
         self.kv = BatchedKVCache.create(
             cfg.n_layer, max_batch, max_seq, cfg.n_kv_head, cfg.head_dim,
             dtype=cfg.compute_dtype)
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+
+            from ..parallel.tp import _kv_specs
+
+            specs = _kv_specs(self.kv, batched=True)
+            self.kv = jax.tree.map(
+                lambda leaf, sp: jax.device_put(
+                    leaf, NamedSharding(mesh, sp)), self.kv, specs)
         self.slots: list[Request | None] = [None] * max_batch
         self.cur_tok = np.zeros(max_batch, np.int32)
         self.seeds = np.zeros(max_batch, np.int32)
@@ -86,33 +101,61 @@ class Engine:
 
         mm, c = self.m, self.cfg
 
-        @jax.jit
-        def _decode_step(params, kv, toks, active, seeds, counters, temps,
-                         top_ks, top_ps):
-            logits, kv = mm.forward_batch(c, params, toks[:, None], kv,
-                                          kv.lengths)
-            keys = jax.vmap(
-                lambda s, ct: jax.random.fold_in(jax.random.PRNGKey(s), ct)
-            )(seeds, counters)
-            nxt = sample_batch(logits[:, 0, :], keys, temps, top_ks, top_ps)
-            new_len = kv.lengths + active.astype(jnp.int32)
-            kv = BatchedKVCache(kv.k, kv.v, new_len)
-            return nxt, kv
+        if mesh is None:
+            @jax.jit
+            def _decode_step(params, kv, toks, active, seeds, counters,
+                             temps, top_ks, top_ps):
+                logits, kv = mm.forward_batch(c, params, toks[:, None], kv,
+                                              kv.lengths)
+                keys = jax.vmap(
+                    lambda s, ct: jax.random.fold_in(
+                        jax.random.PRNGKey(s), ct))(seeds, counters)
+                nxt = sample_batch(logits[:, 0, :], keys, temps, top_ks,
+                                   top_ps)
+                new_len = kv.lengths + active.astype(jnp.int32)
+                kv = BatchedKVCache(kv.k, kv.v, new_len)
+                return nxt, kv
+
+            @jax.jit
+            def _prefill_chunk(params, toks, kv_single, start):
+                logits, kv_single = mm.forward(c, params, toks, kv_single,
+                                               start)
+                return logits, kv_single
+        else:
+            from ..parallel.tp import tp_forward, tp_forward_batch
+
+            @jax.jit
+            def _sample_and_advance(logits, kv, active, seeds, counters,
+                                    temps, top_ks, top_ps):
+                keys = jax.vmap(
+                    lambda s, ct: jax.random.fold_in(
+                        jax.random.PRNGKey(s), ct))(seeds, counters)
+                nxt = sample_batch(logits[:, 0, :], keys, temps, top_ks,
+                                   top_ps)
+                new_len = kv.lengths + active.astype(jnp.int32)
+                return nxt, BatchedKVCache(kv.k, kv.v, new_len)
+
+            def _decode_step(params, kv, toks, active, seeds, counters,
+                             temps, top_ks, top_ps):
+                # tp_forward_batch donates kv; `start` must not alias the
+                # donated lengths buffer (XLA rejects donate(a) + use(a))
+                start = jnp.add(kv.lengths, 0)
+                logits, kv = tp_forward_batch(mesh, c, params, toks[:, None],
+                                              kv, start)
+                return _sample_and_advance(logits, kv, active, seeds,
+                                           counters, temps, top_ks, top_ps)
+
+            def _prefill_chunk(params, toks, kv_single, start):
+                return tp_forward(mesh, c, params, toks, kv_single, start)
 
         self._decode_step = _decode_step
+        self._prefill_chunk = _prefill_chunk
 
         @jax.jit
         def _install(kv, b, k_slot, v_slot, length):
             return kv.set_slot(b, k_slot, v_slot, length)
 
         self._install = _install
-
-        @jax.jit
-        def _prefill_chunk(params, toks, kv_single, start):
-            logits, kv_single = mm.forward(c, params, toks, kv_single, start)
-            return logits, kv_single
-
-        self._prefill_chunk = _prefill_chunk
 
     # -- public API -------------------------------------------------------
 

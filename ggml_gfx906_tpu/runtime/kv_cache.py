@@ -59,19 +59,26 @@ class KVCache:
     def create(cls, n_layer: int, max_seq: int, n_kv_head: int, head_dim: int,
                dtype=jnp.float32, quant: bool = False) -> "KVCache":
         shape = (n_kv_head, max_seq, head_dim)
+
+        def distinct(n, shp, dt):
+            # one allocation sliced apart: repeated jnp.zeros of identical
+            # shape/dtype can alias one buffer, which trips XLA's donation
+            # check ("buffer previously donated in the same Execute")
+            buf = jnp.zeros((n,) + shp, dt)
+            return tuple(buf[i] for i in range(n))
+
         if quant:
+            qkv = distinct(2 * n_layer, shape, jnp.int8)
+            qd = distinct(2 * n_layer, shape[:2], jnp.float32)
             return cls(
-                k=tuple(jnp.zeros(shape, jnp.int8) for _ in range(n_layer)),
-                v=tuple(jnp.zeros(shape, jnp.int8) for _ in range(n_layer)),
-                k_d=tuple(jnp.zeros(shape[:2], jnp.float32)
-                          for _ in range(n_layer)),
-                v_d=tuple(jnp.zeros(shape[:2], jnp.float32)
-                          for _ in range(n_layer)),
+                k=qkv[:n_layer], v=qkv[n_layer:],
+                k_d=qd[:n_layer], v_d=qd[n_layer:],
                 length=jnp.zeros((), jnp.int32),
             )
+        kv = distinct(2 * n_layer, shape, dtype)
         return cls(
-            k=tuple(jnp.zeros(shape, dtype) for _ in range(n_layer)),
-            v=tuple(jnp.zeros(shape, dtype) for _ in range(n_layer)),
+            k=kv[:n_layer],
+            v=kv[n_layer:],
             k_d=(), v_d=(),
             length=jnp.zeros((), jnp.int32),
         )

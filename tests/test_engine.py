@@ -101,3 +101,46 @@ def test_engine_sampling_batch_invariant():
     r3 = eng.submit([1, 2, 3], 6, seed=12345, **kw)
     out3 = {r.rid: r for r in eng.run()}[r3].out
     assert isinstance(out3, list) and len(out3) == 6
+
+
+def test_engine_over_tp_mesh_matches_single():
+    """Serving + tensor parallelism combined: the engine on a dp=1×tp=2
+    mesh (sharded QuantTensors, head-sharded KV pool, shard_map decode)
+    must produce token-identical output to the unsharded engine."""
+    from ggml_gfx906_tpu.ops.quantized import QuantTensor
+    from ggml_gfx906_tpu.parallel import make_mesh
+    from ggml_gfx906_tpu.parallel.tp import shard_llama_params
+    from ggml_gfx906_tpu.quant import GGMLType
+
+    rng = np.random.default_rng(9)
+    cfg = llama.LlamaConfig(n_vocab=256, n_ctx=64, n_embd=512, n_head=4,
+                            n_kv_head=2, n_layer=2, n_ff=1024)
+
+    def q(n, k):
+        return QuantTensor.quantize(
+            GGMLType.Q4_K,
+            (rng.standard_normal((n, k)) * 0.05).astype(np.float32))
+
+    D, FF, KVD = cfg.n_embd, cfg.n_ff, cfg.n_kv_head * cfg.head_dim
+    params = {"wte": jnp.asarray(
+        rng.standard_normal((cfg.n_vocab, D)) * 0.05, jnp.float32),
+        "out_norm": jnp.ones((D,), jnp.float32), "blocks": []}
+    for _ in range(cfg.n_layer):
+        params["blocks"].append({
+            "attn_norm": jnp.ones((D,), jnp.float32),
+            "wq": q(D, D), "wk": q(KVD, D), "wv": q(KVD, D), "wo": q(D, D),
+            "ffn_norm": jnp.ones((D,), jnp.float32),
+            "w_gate": q(FF, D), "w_up": q(FF, D), "w_down": q(D, FF)})
+
+    prompts = [[1, 2, 3], [9, 8, 7, 6]]
+    ref_eng = Engine(llama, cfg, params, max_batch=2, max_seq=64)
+    rids = [ref_eng.submit(p, 5) for p in prompts]
+    ref = {r.rid: r.out for r in ref_eng.run()}
+
+    mesh = make_mesh(dp=1, tp=2)
+    sparams = shard_llama_params(mesh, params)
+    tp_eng = Engine(llama, cfg, sparams, max_batch=2, max_seq=64, mesh=mesh)
+    rids2 = [tp_eng.submit(p, 5) for p in prompts]
+    got = {r.rid: r.out for r in tp_eng.run()}
+    for a, b in zip(rids, rids2):
+        assert got[b] == ref[a], (got[b], ref[a])
