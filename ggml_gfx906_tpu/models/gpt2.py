@@ -85,7 +85,9 @@ def load(path) -> tuple[GPT2Config, dict]:
         ]:
             b[short] = _to_param(r, f"blk.{i}.{gname}")
         p["blocks"].append(b)
-    return cfg, p
+    from ..ops.quantized import apply_weights_layout
+
+    return cfg, apply_weights_layout(p)
 
 
 def _ln(x, g, b, eps):
@@ -98,13 +100,10 @@ def _linear(x, w, b=None):
 
 
 def _embed(table, ids):
-    if isinstance(table, QuantTensor):
-        # gather packed rows, dequantize only those (keeps HBM traffic low)
-        sub = QuantTensor(table.qtype, (ids.shape[0],) + table.shape[1:],
-                          {k: v[ids] for k, v in table.fields.items()},
-                          table.layout)
-        return dequant(sub)
-    return table[ids]
+    # gather packed rows, dequantize only those (keeps HBM traffic low)
+    from ..ops.quantized import embed_rows
+
+    return embed_rows(table, ids)
 
 
 def forward(cfg: GPT2Config, params: dict, tokens: jax.Array,

@@ -84,7 +84,9 @@ def load(path) -> tuple[GPTJConfig, dict]:
         ]:
             b[short] = _to_param(r, f"blk.{i}.{gname}")
         p["blocks"].append(b)
-    return cfg, p
+    from ..ops.quantized import apply_weights_layout
+
+    return cfg, apply_weights_layout(p)
 
 
 def forward(cfg: GPTJConfig, params: dict, tokens: jax.Array,
@@ -127,10 +129,9 @@ def forward(cfg: GPTJConfig, params: dict, tokens: jax.Array,
 
 
 def _embed_q(table: QuantTensor, ids):
-    sub = QuantTensor(table.qtype, ids.shape + table.shape[1:],
-                      {k: v[ids] for k, v in table.fields.items()},
-                      table.layout)
-    return dequant(sub)
+    from ..ops.quantized import embed_rows
+
+    return embed_rows(table, ids)
 
 
 @functools.partial(jax.jit, static_argnums=0, donate_argnums=3)

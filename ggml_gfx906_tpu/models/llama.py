@@ -98,14 +98,9 @@ def load(path) -> tuple[LlamaConfig, dict]:
         ]:
             b[short] = _to_param(r, f"blk.{i}.{gname}")
         p["blocks"].append(b)
-    from ..ops.quantized import to_int8_layout
-    from ..utils import config
+    from ..ops.quantized import apply_weights_layout
 
-    if config.get("weights_layout") == "int8":
-        p = jax.tree.map(
-            lambda t: to_int8_layout(t) if isinstance(t, QuantTensor) else t,
-            p, is_leaf=lambda t: isinstance(t, QuantTensor))
-    return cfg, p
+    return cfg, apply_weights_layout(p)
 
 
 def _rms(x, g, eps):
@@ -113,20 +108,9 @@ def _rms(x, g, eps):
 
 
 def _embed(table, ids):
-    if isinstance(table, QuantTensor):
-        if table.layout == "int8":
-            # tile-major fields: rows live on axis 1 of w8t / dwt
-            flat = ids.reshape(-1)
-            sub = QuantTensor(table.qtype, flat.shape + table.shape[1:],
-                              {"w8t": table.fields["w8t"][:, flat],
-                               "dwt": table.fields["dwt"][:, flat]},
-                              "int8")
-            return dequant(sub).reshape(ids.shape + table.shape[1:])
-        sub = QuantTensor(table.qtype, ids.shape + table.shape[1:],
-                          {k: v[ids] for k, v in table.fields.items()},
-                          table.layout)
-        return dequant(sub)
-    return table[ids]
+    from ..ops.quantized import embed_rows
+
+    return embed_rows(table, ids)
 
 
 def _rope(cfg: LlamaConfig, x, pos):

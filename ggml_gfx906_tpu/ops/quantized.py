@@ -458,6 +458,43 @@ def _int8_layout_matmul(x: jax.Array, qt: QuantTensor) -> jax.Array:
     return scaled.sum(0).reshape(*lead, n)
 
 
+def embed_rows(table, ids):
+    """Row gather + dequantize for embedding tables that may be plain
+    arrays or QuantTensors in any layout (packed rows gather cheaply; the
+    tile-major int8 layout keeps rows on axis 1)."""
+    if not isinstance(table, QuantTensor):
+        return table[ids]
+    flat = ids.reshape(-1)
+    if table.layout == "int8":
+        sub = QuantTensor(table.qtype, flat.shape + table.shape[1:],
+                          {"w8t": table.fields["w8t"][:, flat],
+                           "dwt": table.fields["dwt"][:, flat]}, "int8")
+    else:
+        sub = QuantTensor(table.qtype, flat.shape + table.shape[1:],
+                          {k: v[flat] for k, v in table.fields.items()},
+                          table.layout)
+    return dequant(sub).reshape(ids.shape + table.shape[1:])
+
+
+def apply_weights_layout(params, layout: str | None = None):
+    """Convert every QuantTensor in a param pytree to the configured
+    execution layout (config "weights_layout"; currently 'kernel' keeps
+    the load-time layout, 'int8' converts via to_int8_layout)."""
+    from ..utils import config
+
+    layout = layout or config.get("weights_layout")
+    if layout == "auto":
+        from ..utils import autotune
+
+        layout = autotune.choose()
+    if layout != "int8":
+        return params
+    return jax.tree.map(
+        lambda t: to_int8_layout(t)
+        if isinstance(t, QuantTensor) and t.layout != "int8" else t,
+        params, is_leaf=lambda t: isinstance(t, QuantTensor))
+
+
 def dequant(qt: QuantTensor, dtype=jnp.float32) -> jax.Array:
     """Expand to a dense array of qt.shape (bit-exact f32 w.r.t. the C ref;
     the int8 execution layout reproduces its requantized values)."""

@@ -92,9 +92,10 @@ register("engine_chunk_size", 128,
          "(smaller = steadier decode cadence, larger = faster admission)")
 register("weights_layout", "kernel",
          "quantized weight execution layout: 'kernel' (packed wire-density "
-         "fields + fused Pallas matmuls) or 'int8' (tile-major int8 + XLA "
+         "fields + fused Pallas matmuls), 'int8' (tile-major int8 + XLA "
          "segmented integer dots — the fast decode path on runtimes where "
-         "Pallas DMA underperforms XLA fusions)")
+         "Pallas DMA underperforms XLA fusions), or 'auto' (measure both "
+         "once per process and pick — utils/autotune.py)")
 register("kv_quant", False,
          "store serving KV caches as int8 with per-(head,pos) scales")
 register("log_level", "info", "log threshold: debug/info/warn/error")
