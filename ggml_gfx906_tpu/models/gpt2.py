@@ -158,6 +158,47 @@ def decode_step(cfg, params, tok, kv, start):
     return jnp.argmax(logits[-1]).astype(jnp.int32)[None], kv
 
 
+def make_cache(cfg: GPT2Config, max_seq: int | None = None, dtype=None,
+               quant: bool = False) -> KVCache:
+    return KVCache.create(cfg.n_layer, max_seq or cfg.n_ctx, cfg.n_head,
+                          cfg.head_dim, dtype or cfg.compute_dtype,
+                          quant=quant)
+
+
+def forward_batch(cfg: GPT2Config, params: dict, tokens: jax.Array,
+                  kv, start: jax.Array):
+    """Batched serving forward over a BatchedKVCache — the reference's
+    gpt-2 seq_id batching (examples/gpt-2/main-batched.cpp): tokens (B, S)
+    at per-slot positions start (B,) → (logits (B, S, V), kv)."""
+    B, S = tokens.shape
+    H, HD = cfg.n_head, cfg.head_dim
+    dt = cfg.compute_dtype
+    pos = start[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+    x = (_embed(params["wte"], tokens)
+         + _embed(params["wpe"], pos)).astype(dt)
+
+    for li, blk in enumerate(params["blocks"]):
+        h = _ln(x, blk["ln1_g"], blk["ln1_b"], cfg.ln_eps)
+        qkv = _linear(h, blk["qkv_w"], blk["qkv_b"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, S, H, HD)
+        kv = kv.update_layer(li, k.reshape(B, S, H, HD),
+                             v.reshape(B, S, H, HD), start)
+        att = ops.causal_flash_attn(
+            jnp.transpose(q, (0, 2, 1, 3)), kv.k[li], kv.v[li], start,
+            scale=1.0 / (HD ** 0.5))
+        att = jnp.transpose(att, (0, 2, 1, 3)).reshape(B, S, cfg.n_embd)
+        x = x + _linear(att, blk["proj_w"], blk["proj_b"])
+        h2 = _ln(x, blk["ln2_g"], blk["ln2_b"], cfg.ln_eps)
+        ff = _linear(ops.gelu(_linear(h2, blk["up_w"], blk["up_b"])),
+                     blk["down_w"], blk["down_b"])
+        x = x + ff
+
+    x = _ln(x, params["ln_f_g"], params["ln_f_b"], cfg.ln_eps)
+    head = params.get("lm_head", params["wte"])
+    return qmatmul(x, head).astype(jnp.float32), kv
+
+
 def forward_train(cfg: GPT2Config, params: dict, tokens: jax.Array) -> jax.Array:
     """Batched full-sequence forward without a KV cache (training path).
     tokens: (B, S) int32 → logits (B, S, n_vocab) f32."""

@@ -75,8 +75,9 @@ class Engine:
         self.max_seq = max_seq
         self.chunk_size = chunk_size or config.get("engine_chunk_size")
         self.mesh = mesh
+        kvh = getattr(cfg, "n_kv_head", None) or cfg.n_head
         self.kv = BatchedKVCache.create(
-            cfg.n_layer, max_batch, max_seq, cfg.n_kv_head, cfg.head_dim,
+            cfg.n_layer, max_batch, max_seq, kvh, cfg.head_dim,
             dtype=cfg.compute_dtype)
         if mesh is not None:
             from jax.sharding import NamedSharding

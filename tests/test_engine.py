@@ -144,3 +144,29 @@ def test_engine_over_tp_mesh_matches_single():
     got = {r.rid: r.out for r in tp_eng.run()}
     for a, b in zip(rids, rids2):
         assert got[b] == ref[a], (got[b], ref[a])
+
+
+def test_engine_gpt2_matches_single():
+    """The engine is model-generic: gpt-2 (the reference's own batching
+    example, main-batched.cpp) serves with single-sequence parity."""
+    from ggml_gfx906_tpu.models import gpt2
+    from ggml_gfx906_tpu.runtime.kv_cache import KVCache
+
+    cfg = gpt2.GPT2Config(n_vocab=128, n_ctx=64, n_embd=64, n_head=4,
+                          n_layer=2)
+    params = gpt2.random_params(cfg, seed=1)
+    eng = Engine(gpt2, cfg, params, max_batch=2, max_seq=64)
+    prompts = [[1, 2, 3], [9, 8]]
+    rids = [eng.submit(p, 4) for p in prompts]
+    done = {r.rid: r for r in eng.run()}
+    for rid, prompt in zip(rids, prompts):
+        kv = KVCache.create(cfg.n_layer, 64, cfg.n_head, cfg.head_dim)
+        toks = jnp.asarray(prompt, jnp.int32)
+        logits, kv = gpt2.forward_jit(cfg, params, toks, kv, jnp.int32(0))
+        ref = [int(jnp.argmax(logits[-1]))]
+        tok = jnp.asarray([ref[-1]], jnp.int32)
+        for i in range(3):
+            tok, kv = gpt2.decode_step(cfg, params, tok, kv,
+                                       jnp.int32(len(prompt) + i))
+            ref.append(int(tok[0]))
+        assert done[rid].out == ref, (done[rid].out, ref)

@@ -1,6 +1,7 @@
 """Perplexity evaluator vs a direct numpy reference (the reference tool's
 quality-gate semantics, tools/perplexity)."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ggml_gfx906_tpu.models import llama, perplexity
@@ -50,3 +51,29 @@ def test_perplexity_random_model_near_uniform():
     toks = rng.integers(0, cfg.n_vocab, 65).astype(np.int32)
     got = perplexity.perplexity_llama(cfg, params, toks, n_ctx=64)
     assert 0.3 * cfg.n_vocab < got["ppl"] < 3.0 * cfg.n_vocab, got
+
+
+def test_ppl_delta_quantized_within_bounds():
+    """BASELINE north star: quantized perplexity within bounds of f32
+    (the reference's quality gate for every codec). Q8_0 must track f32
+    tightly; Q4_K stays within a few percent even on a random model."""
+    from ggml_gfx906_tpu.ops.quantized import QuantTensor
+    from ggml_gfx906_tpu.quant import GGMLType
+
+    cfg, params = _tiny()
+    rng = np.random.default_rng(3)
+    toks = rng.integers(0, cfg.n_vocab, 80).astype(np.int32)
+    base = perplexity.perplexity_llama(cfg, params, toks, n_ctx=32)["ppl"]
+
+    def quantize_params(qtype):
+        def q(t):
+            if hasattr(t, "ndim") and t.ndim == 2 and t.shape[1] % 256 == 0:
+                return QuantTensor.quantize(qtype, np.asarray(t))
+            return t
+        return jax.tree.map(q, params)
+
+    for qtype, bound in ((GGMLType.Q8_0, 0.01), (GGMLType.Q4_K, 0.10)):
+        ppl = perplexity.perplexity_llama(cfg, quantize_params(qtype), toks,
+                                          n_ctx=32)["ppl"]
+        delta = abs(ppl - base) / base
+        assert delta < bound, (qtype, ppl, base, delta)
