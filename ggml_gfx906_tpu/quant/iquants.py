@@ -242,7 +242,14 @@ def iq_machinery(kind: str):
     kmap[u] ≥ 0 → exact grid index; kmap[u] < 0 → neighbors[-kmap[u]-1]
     holds the count, followed by that many grid indices sorted by
     (distance², index) — the deterministic order of the C qsort comparator.
-    """
+
+    The result is deterministic, so it is disk-cached next to the grid
+    constants (the iq1 build covers 42k off-grid points × 2048 lattice
+    rows and costs ~2 minutes cold; the cache ships prebuilt)."""
+    cache = os.path.join(os.path.dirname(_DATA), f"machinery_{kind}.npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        return z["grid"], z["kmap"], z["neigh"]
     t = _tables()
     spec = {
         "iq2_xxs": (t["kgrid_2bit_256"], 8, 2, 2, 43692),
@@ -296,7 +303,12 @@ def iq_machinery(kind: str):
         kmap[chunk] = -(counter + starts + 1)
         parts.append(flat)
         counter += total
-    return grid, kmap, np.concatenate(parts)
+    neigh = np.concatenate(parts)
+    try:
+        np.savez_compressed(cache, grid=grid, kmap=kmap, neigh=neigh)
+    except OSError:
+        pass                     # read-only installs build in memory only
+    return grid, kmap, neigh
 
 
 def _neighbours_at(neigh: np.ndarray, kmap: np.ndarray, u: int) -> np.ndarray:
