@@ -48,3 +48,33 @@ def test_pp_requires_divisible_layers(dense_params):
         sharded = shard_pp(mesh, stacked)
         toks = jnp.zeros((3, 4), jnp.int32)
         np.asarray(pp_forward(mesh, CFG, sharded, toks, 3))
+
+
+def test_offload_split_matches_single(dense_params):
+    """The -ngl analogue: layers split across two devices with one
+    boundary transfer must match the single-device forward (ref: layer
+    offload splits, src/ggml-backend.cpp)."""
+    from ggml_gfx906_tpu.models.offload import OffloadSplit
+
+    params = dict(dense_params)
+    params["lm_head"] = params["wte"]   # untie for the host-side head
+    devs = jax.devices()
+    split = OffloadSplit.build(CFG, params, n_device_layers=2,
+                               device=devs[0], host_device=devs[1])
+    kvs = split.make_caches(32)
+    toks = jnp.asarray([3, 9, 27, 81], jnp.int32)
+    got, kvs = split.forward(toks, kvs, jnp.int32(0))
+    ref, _ = llama.forward(CFG, params, toks, llama.make_cache(CFG, 32),
+                           jnp.int32(0))
+    ref, got = np.asarray(ref), np.asarray(got)
+    nmse = ((got - ref) ** 2).sum() / (ref ** 2).sum()
+    assert nmse < 1e-9, nmse
+    # incremental decode continues across the same split caches
+    got2, kvs = split.forward(jnp.asarray([5], jnp.int32), kvs, jnp.int32(4))
+    kv = llama.make_cache(CFG, 32)
+    _, kv = llama.forward(CFG, params, toks, kv, jnp.int32(0))
+    ref2, _ = llama.forward(CFG, params, jnp.asarray([5], jnp.int32), kv,
+                            jnp.int32(4))
+    nmse2 = ((np.asarray(got2) - np.asarray(ref2)) ** 2).sum() / \
+        (np.asarray(ref2) ** 2).sum()
+    assert nmse2 < 1e-9, nmse2
