@@ -209,6 +209,24 @@ def bench_llama7b():
         pre_s = max(pre_s, n_pre / (time.time() - t0))
     del kvp, lg
 
+    # aggregate serving throughput: the continuous-batching engine with 8
+    # slots (chunked prefill + batched sampled decode in one program per
+    # step; per-step host fetch included — the production serving number)
+    note("engine throughput...")
+    from ggml_gfx906_tpu.runtime.engine import Engine
+
+    eng = Engine(llama, cfg, params, max_batch=8, max_seq=max_seq)
+    rng2 = np.random.default_rng(1)
+    n_new = 48
+    for _ in range(8):
+        eng.submit(rng2.integers(1, 1000, 24).tolist(), n_new)
+    t0 = time.time()
+    done = eng.run()
+    eng_dt = time.time() - t0
+    eng_tokens = sum(len(r.out) for r in done)
+    engine_tok_s = eng_tokens / eng_dt
+    del eng
+
     # HBM bandwidth measured IN-RUN (chained-dependence probe — constants,
     # fused identical reads, and host-data transfers all mismeasure; see
     # utils/perf.py). Roofline counts weights + the valid KV prefix actually
@@ -226,6 +244,7 @@ def bench_llama7b():
         "unit": "tok/s",
         "vs_baseline": round(toks_s / BASELINE_TOKS, 3),
         "prefill_tok_s": round(pre_s, 1),
+        "engine_tok_s_b8": round(engine_tok_s, 1),
         "pct_hbm_roofline": round(100 * toks_s / roofline, 1),
         "measured_hbm_gbs": round(bw / 1e9, 0),
         "weight_bytes": wbytes,

@@ -855,12 +855,6 @@ def _q3k_kernel(x_ref, qs_ref, hm_ref, sc_ref, dq_ref, out_ref, *, kt: int):
     out_ref[...] = acc
 
 
-def _q23_perm(nbp):
-    """(sb2, h2, j32) byte index → chunk lane 8·(j%16) + sb·4 + h·2 + j//16
-    (as a reshape/transpose: j = s·16 + jj with s = j//16)."""
-    return None  # documented inline in the layout functions
-
-
 def q2k_weight_layout(qs, scales, d, dmin):
     """Wire (N, nb, 64) u8 qs, (N, nb, 16) u8 scales, (N, nb) d/dmin →
     chunked kernel operands (nb zero-padded to even)."""

@@ -25,7 +25,6 @@ import numpy as np
 
 from .numerics import (
     F32,
-    fp16_round,
     fp16_to_fp32,
     fp32_to_fp16,
     nearest_int,
