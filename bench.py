@@ -140,6 +140,9 @@ def bench_llama7b():
     from ggml_gfx906_tpu.ops.quantized import QuantTensor
     from ggml_gfx906_tpu.utils.perf import measure_hbm_bw
 
+    from ggml_gfx906_tpu.utils import autotune, config
+
+    config.set("attn_impl", autotune.choose_attn())
     cfg = llama.LlamaConfig(
         n_vocab=32000, n_ctx=2048, n_embd=4096, n_head=32, n_kv_head=32,
         n_layer=32, n_ff=11008, compute_dtype=jnp.bfloat16)

@@ -117,10 +117,13 @@ def causal_flash_attn(q, k, v, pos, scale: float | None = None,
     Dispatches to the Pallas flash kernel (ops/pallas/flash_attn.py) and
     falls back to the materialized-mask XLA path otherwise. Differentiable:
     the backward pass recomputes through the XLA reference."""
+    from ..utils import config
     from .pallas import flash_attn as _fa
 
     if scale is None:
         scale = 1.0 / (q.shape[-1] ** 0.5)
+    if config.get("attn_impl") == "xla":
+        force_ref = True
     if not force_ref and _fa.supported(q, k, v, pos, logit_softcap):
         pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1),
                                (q.shape[0],))

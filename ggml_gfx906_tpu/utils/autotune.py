@@ -57,3 +57,38 @@ def choose(n: int = 2048, k: int = 2048, verbose: bool = True) -> str:
               f"int8={t_int8*1e3:.3f}ms → weights_layout={layout}",
               file=sys.stderr)
     return layout
+
+
+@functools.cache
+def choose_attn(verbose: bool = True) -> str:
+    """Measure the flash kernel vs the XLA reference at a decode shape
+    (1 query against a long cache — HBM-bound, so the answer tracks the
+    runtime's Pallas DMA throughput) and return 'pallas' | 'xla'."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.attention import causal_flash_attn
+    from .perf import _time_fn
+
+    if jax.default_backend() != "tpu":
+        return "pallas"
+
+    rng = np.random.default_rng(0)
+    B, H, M, D = 1, 32, 1024, 128
+    iters = 12
+    qs = jnp.asarray(rng.standard_normal((3 * iters, B, H, 1, D))
+                     .astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, M, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, M, D)).astype(np.float32))
+    pos = jnp.full((B,), M - 1, jnp.int32)
+
+    t_pal = _time_fn(lambda q, kk, vv: causal_flash_attn(q, kk, vv, pos),
+                     qs, k, v, iters=iters, rounds=2)
+    t_xla = _time_fn(
+        lambda q, kk, vv: causal_flash_attn(q, kk, vv, pos, force_ref=True),
+        qs, k, v, iters=iters, rounds=2)
+    impl = "xla" if t_xla < t_pal else "pallas"
+    if verbose:
+        print(f"autotune: decode attn pallas={t_pal*1e3:.3f}ms "
+              f"xla={t_xla*1e3:.3f}ms → attn_impl={impl}", file=sys.stderr)
+    return impl

@@ -96,6 +96,10 @@ register("weights_layout", "kernel",
          "segmented integer dots — the fast decode path on runtimes where "
          "Pallas DMA underperforms XLA fusions), or 'auto' (measure both "
          "once per process and pick — utils/autotune.py)")
+register("attn_impl", "pallas",
+         "causal attention implementation: 'pallas' (fused flash kernel) "
+         "or 'xla' (reference path — faster on runtimes where Pallas DMA "
+         "underperforms XLA fusions; utils/autotune.choose_attn measures)")
 register("kv_quant", False,
          "store serving KV caches as int8 with per-(head,pos) scales")
 register("log_level", "info", "log threshold: debug/info/warn/error")
