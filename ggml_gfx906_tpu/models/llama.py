@@ -19,6 +19,7 @@ import numpy as np
 
 from .. import ops
 from ..gguf import GGUFReader
+from ..utils import observe
 from ..ops.quantized import QuantTensor, dequant, qmatmul
 from ..quant.types import GGMLType, TYPE_TRAITS
 from ..runtime.kv_cache import KVCache
@@ -156,18 +157,19 @@ def forward(cfg: LlamaConfig, params: dict, tokens: jax.Array,
         a = qmatmul(att, blk["wo"])
         if tp_axis:
             a = jax.lax.psum(a, tp_axis)
-        x = x + a
+        x = observe.tap(f"blk.{li}.attn_out", x + a)
         h2 = _rms(x, blk["ffn_norm"], cfg.rms_eps)
         gate = ops.silu(qmatmul(h2, blk["w_gate"]))
         up = qmatmul(h2, blk["w_up"])
         d = qmatmul(gate * up, blk["w_down"])
         if tp_axis:
             d = jax.lax.psum(d, tp_axis)
-        x = x + d
+        x = observe.tap(f"blk.{li}.ffn_out", x + d)
 
     x = _rms(x, params["out_norm"], cfg.rms_eps)
     head = params.get("lm_head", params["wte"])
-    return qmatmul(x, head).astype(jnp.float32), kv.advance(S)
+    logits = observe.tap("logits", qmatmul(x, head).astype(jnp.float32))
+    return logits, kv.advance(S)
 
 
 @functools.partial(jax.jit, static_argnums=0, donate_argnums=3)

@@ -50,3 +50,22 @@ class SectionTimer:
             t, c = self.totals[name] * 1e3, self.counts[name]
             lines.append(f"{name:26s} {t:10.2f} {c:9d} {t / c:8.3f}")
         return "\n".join(lines)
+
+
+def dump_graph(fn, *args, path: str | None = None, stage: str = "hlo"):
+    """Dump the compiled graph of `fn(*args)` — the ggml_graph_dump_dot /
+    ggml_graph_print analogue (ref src/ggml.c:6728,6802). stage: "jaxpr"
+    (traced ops), "hlo" (StableHLO), or "optimized" (post-XLA passes).
+    Returns the text; writes it to `path` when given."""
+    import jax
+
+    if stage == "jaxpr":
+        text = str(jax.make_jaxpr(fn)(*args))
+    else:
+        lowered = jax.jit(fn).lower(*args)
+        text = (lowered.compile().as_text() if stage == "optimized"
+                else lowered.as_text())
+    if path:
+        with open(path, "w") as f:
+            f.write(text)
+    return text

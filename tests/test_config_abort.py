@@ -69,3 +69,37 @@ def test_abort_stops_generate():
             llama.generate(cfg, params, [1, 2], 10, max_seq=32)
     finally:
         abort.set_abort_callback(None)
+
+
+def test_observe_taps_and_graph_dump(tmp_path):
+    """Per-node observation (eval-callback analogue) + graph dump."""
+    import jax.numpy as jnp
+
+    from ggml_gfx906_tpu.models import llama
+    from ggml_gfx906_tpu.utils import observe, trace
+
+    cfg = llama.LlamaConfig(n_vocab=64, n_ctx=32, n_embd=32, n_head=2,
+                            n_kv_head=2, n_layer=2, n_ff=64)
+    params = llama.random_params(cfg, seed=0)
+    seen = {}
+
+    def spy(name, value):
+        seen[name] = value.shape
+
+    with observe.observer(spy):
+        kv = llama.make_cache(cfg, 16)
+        logits, _ = llama.forward(cfg, params, jnp.asarray([1, 2], jnp.int32),
+                                  kv, jnp.int32(0))
+        np.asarray(logits)   # flush callbacks
+    assert "blk.0.attn_out" in seen and "blk.1.ffn_out" in seen
+    assert seen["logits"] == (2, 64)
+    # no observer → no taps traced
+    seen.clear()
+    kv = llama.make_cache(cfg, 16)
+    np.asarray(llama.forward(cfg, params, jnp.asarray([1], jnp.int32),
+                             kv, jnp.int32(0))[0])
+    assert not seen
+
+    txt = trace.dump_graph(
+        lambda x: x * 2 + 1, jnp.ones((4,)), path=str(tmp_path / "g.txt"))
+    assert "hlo" in txt or "stablehlo" in txt or "module" in txt
