@@ -42,7 +42,8 @@ def sample_batch(logits, keys, temp, top_k, top_p, max_k: int = 64):
     mix of per-request settings (ref: per-sequence sampler state in
     examples/common.cpp gpt_sample_top_k_top_p).
     """
-    b, _ = logits.shape
+    b, v = logits.shape
+    max_k = min(max_k, v)
     lf = logits.astype(jnp.float32)
     safe_t = jnp.where(temp > 0, temp, 1.0)
     vals, idx = jax.lax.top_k(lf / safe_t[:, None], max_k)   # (B, max_k)
