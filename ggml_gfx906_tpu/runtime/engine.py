@@ -16,6 +16,7 @@ hard part (e)).
 """
 from __future__ import annotations
 
+import functools
 import itertools
 from dataclasses import dataclass, field
 
@@ -103,7 +104,7 @@ class Engine:
         mm, c = self.m, self.cfg
 
         if mesh is None:
-            @jax.jit
+            @functools.partial(jax.jit, donate_argnums=1)
             def _decode_step(params, kv, toks, active, seeds, counters,
                              temps, top_ks, top_ps):
                 logits, kv = mm.forward_batch(c, params, toks[:, None], kv,
@@ -117,7 +118,7 @@ class Engine:
                 kv = BatchedKVCache(kv.k, kv.v, new_len)
                 return nxt, kv
 
-            @jax.jit
+            @functools.partial(jax.jit, donate_argnums=2)
             def _prefill_chunk(params, toks, kv_single, start):
                 logits, kv_single = mm.forward(c, params, toks, kv_single,
                                                start)
@@ -152,11 +153,20 @@ class Engine:
         self._decode_step = _decode_step
         self._prefill_chunk = _prefill_chunk
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=0)
         def _install(kv, b, k_slot, v_slot, length):
             return kv.set_slot(b, k_slot, v_slot, length)
 
         self._install = _install
+
+        @jax.jit
+        def _set_tok(toks, b, t):
+            return toks.at[b].set(t)
+
+        self._set_tok = _set_tok
+        # device-resident next-token vector: decode dispatches chain through
+        # it without a host round-trip (windowed harvest, see run())
+        self._tok_dev = jnp.zeros(max_batch, jnp.int32)
 
     # -- public API -------------------------------------------------------
 
@@ -173,10 +183,22 @@ class Engine:
         return r.rid
 
     def run(self) -> list[Request]:
-        """Run until all submitted requests complete; returns them."""
+        """Run until all submitted requests complete; returns them.
+
+        Decode dispatches are windowed: up to `engine_harvest_depth` steps
+        chain on device through the resident next-token vector before ONE
+        host fetch harvests the window's tokens (a per-step fetch pays the
+        full dispatch-tunnel round trip — measured ~20 ms — serially; the
+        window amortizes it over J steps). Token streams are bit-identical
+        to depth 1: sampling keys derive from (seed, dispatch counter) only,
+        and post-completion in-window steps are discarded at harvest."""
+        depth = max(1, int(config.get("engine_harvest_depth")))
         while (self.queue or self.pending
                or any(s is not None for s in self.slots)):
-            self.step()
+            if depth == 1:
+                self.step()
+            else:
+                self._pump_window(depth)
         out, self.finished = self.finished, []
         return out
 
@@ -229,6 +251,10 @@ class Engine:
         self.counters[b] = 1
         r.out.append(first)
         self.cur_tok[b] = first
+        # device-ordered after any in-flight decode dispatches, before the
+        # next one — the new slot's first input token
+        self._tok_dev = self._set_tok(self._tok_dev, jnp.int32(b),
+                                      jnp.int32(first))
         self.pending = None
         self._check_done(b)
 
@@ -246,24 +272,62 @@ class Engine:
                 self.kv.k, self.kv.v,
                 self.kv.lengths.at[b].set(0))
 
-    def step(self):
-        """One engine iteration: one admission chunk, one batched decode."""
-        abort.check()   # cooperative-cancel poll point (utils/abort.py)
-        self._advance_admission()
+    def _dispatch(self):
+        """Enqueue one batched decode step (NO host sync) chained through
+        the device-resident token vector; returns (nxt_device, slot→rid
+        snapshot) or None when no slot is active."""
         active = np.array([s is not None for s in self.slots], bool)
         if not active.any():
-            return
-        toks = jnp.asarray(self.cur_tok)
+            return None
+        # .copy() snapshots are load-bearing: dispatch is ASYNC and
+        # jnp.asarray can zero-copy alias host numpy memory (CPU backend),
+        # so passing the live arrays races with the `counters += 1` /
+        # admission mutations below — observed as nondeterministic sampling
+        # keys until the buffers were snapshotted
         nxt, self.kv = self._decode_step(
-            self.params, self.kv, toks, jnp.asarray(active),
-            jnp.asarray(self.seeds), jnp.asarray(self.counters),
-            jnp.asarray(self.temps), jnp.asarray(self.top_ks),
-            jnp.asarray(self.top_ps))
-        nxt = np.asarray(nxt)
+            self.params, self.kv, self._tok_dev, jnp.asarray(active),
+            jnp.asarray(self.seeds.copy()), jnp.asarray(self.counters.copy()),
+            jnp.asarray(self.temps.copy()), jnp.asarray(self.top_ks.copy()),
+            jnp.asarray(self.top_ps.copy()))
+        self._tok_dev = nxt
         self.counters += 1
-        for b, r in enumerate(self.slots):
-            if r is None:
-                continue
-            r.out.append(int(nxt[b]))
-            self.cur_tok[b] = int(nxt[b])
-            self._check_done(b)
+        return nxt, [r.rid if r is not None else None for r in self.slots]
+
+    def _harvest(self, rows, snaps):
+        """Apply fetched token rows to host bookkeeping. Rows belonging to a
+        slot whose request completed earlier in the window (rid mismatch or
+        freed slot) are discarded — the outputs match depth-1 exactly."""
+        for row, snap in zip(rows, snaps):
+            for b, rid in enumerate(snap):
+                r = self.slots[b]
+                if r is not None and r.rid == rid:
+                    r.out.append(int(row[b]))
+                    self.cur_tok[b] = int(row[b])
+                    self._check_done(b)
+
+    def step(self):
+        """One engine iteration: one admission chunk, one batched decode,
+        immediate harvest (depth-1 cadence — one token per active slot)."""
+        abort.check()   # cooperative-cancel poll point (utils/abort.py)
+        self._advance_admission()
+        d = self._dispatch()
+        if d is None:
+            return
+        nxt, snap = d
+        self._harvest(np.asarray(nxt)[None], [snap])
+
+    def _pump_window(self, depth: int):
+        """Dispatch up to `depth` chained decode steps (admission chunk
+        before each), then harvest them with ONE device fetch."""
+        inflight = []
+        for _ in range(depth):
+            abort.check()
+            self._advance_admission()
+            d = self._dispatch()
+            if d is None:
+                break
+            inflight.append(d)
+        if not inflight:
+            return
+        rows = np.asarray(jnp.stack([nxt for nxt, _ in inflight]))
+        self._harvest(rows, [snap for _, snap in inflight])

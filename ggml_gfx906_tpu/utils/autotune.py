@@ -33,6 +33,18 @@ def choose(n: int = 2048, k: int = 2048, verbose: bool = True) -> str:
     if jax.default_backend() != "tpu":
         return "kernel"        # tests/CPU: keep the bit-exact path
 
+    from .perf import measure_hbm_bw
+
+    dma = pallas_dma_gbs()
+    if dma < 0.25 * measure_hbm_bw() / 1e9:
+        # Pallas DMA is pathological on this runtime (see pallas_dma_gbs):
+        # the packed-kernel layout cannot stream — skip the expensive
+        # side-by-side measurement
+        if verbose:
+            print(f"autotune: pallas dma {dma:.0f} GB/s pathological "
+                  f"→ weights_layout=int8", file=sys.stderr)
+        return "int8"
+
     rng = np.random.default_rng(0)
     sb = k // 256
     fields = {
@@ -60,35 +72,73 @@ def choose(n: int = 2048, k: int = 2048, verbose: bool = True) -> str:
 
 
 @functools.cache
-def choose_attn(verbose: bool = True) -> str:
-    """Measure the flash kernel vs the XLA reference at a decode shape
-    (1 query against a long cache — HBM-bound, so the answer tracks the
-    runtime's Pallas DMA throughput) and return 'pallas' | 'xla'."""
+def pallas_dma_gbs() -> float:
+    """Measured Pallas HBM→VMEM streaming rate (GB/s, read+write).
+
+    A trivial grid-tiled copy kernel over 64 MB isolates the mechanism every
+    Pallas kernel depends on. On bare-metal TPUs it runs near HBM speed; on
+    tunnel-virtualized runtimes it has measured as low as 0.05 GB/s (each
+    grid step pays a host round-trip), which silently poisons every
+    pallas_call in a program. Measured once per process."""
+    import time
+
     import jax
     import jax.numpy as jnp
+    from jax.experimental import pallas as pl
 
-    from ..ops.attention import causal_flash_attn
-    from .perf import _time_fn
+    from .perf import device_sync
+
+    def copy_kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[...]
+
+    m, n, bm = 4096, 4096, 512
+
+    @jax.jit
+    def run(x):
+        return pl.pallas_call(
+            copy_kernel,
+            grid=(m // bm,),
+            in_specs=[pl.BlockSpec((bm, n), lambda i: (i, 0))],
+            out_specs=pl.BlockSpec((bm, n), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        )(x)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (m, n), jnp.float32)
+    try:
+        device_sync(run(x))
+    except Exception:
+        return 0.0
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        device_sync(run(x))
+        best = min(best, time.perf_counter() - t0)
+    return 2 * x.nbytes / best / 1e9
+
+
+@functools.cache
+def choose_attn(verbose: bool = True) -> str:
+    """'pallas' | 'xla' for the flash-attention implementation.
+
+    Per-op timing through the dispatch tunnel is useless here (the ~20 ms
+    fixed round-trip swamps a sub-ms op, and in-program unrolls get their
+    loop-invariant KV loads hoisted — both failure modes observed on
+    hardware), so the decision probes the MECHANISM instead: if Pallas DMA
+    streams at a healthy fraction of measured HBM bandwidth the kernels are
+    usable; if it is pathologically slow (tunnel-virtualized runtime), every
+    in-program pallas_call degrades the surrounding program and the XLA
+    attention path wins at every shape this framework runs."""
+    import jax
 
     if jax.default_backend() != "tpu":
         return "pallas"
 
-    rng = np.random.default_rng(0)
-    B, H, M, D = 1, 32, 1024, 128
-    iters = 12
-    qs = jnp.asarray(rng.standard_normal((3 * iters, B, H, 1, D))
-                     .astype(np.float32))
-    k = jnp.asarray(rng.standard_normal((B, H, M, D)).astype(np.float32))
-    v = jnp.asarray(rng.standard_normal((B, H, M, D)).astype(np.float32))
-    pos = jnp.full((B,), M - 1, jnp.int32)
+    from .perf import measure_hbm_bw
 
-    t_pal = _time_fn(lambda q, kk, vv: causal_flash_attn(q, kk, vv, pos),
-                     qs, k, v, iters=iters, rounds=2)
-    t_xla = _time_fn(
-        lambda q, kk, vv: causal_flash_attn(q, kk, vv, pos, force_ref=True),
-        qs, k, v, iters=iters, rounds=2)
-    impl = "xla" if t_xla < t_pal else "pallas"
+    dma = pallas_dma_gbs()
+    hbm = measure_hbm_bw() / 1e9
+    impl = "pallas" if dma >= 0.25 * hbm else "xla"
     if verbose:
-        print(f"autotune: decode attn pallas={t_pal*1e3:.3f}ms "
-              f"xla={t_xla*1e3:.3f}ms → attn_impl={impl}", file=sys.stderr)
+        print(f"autotune: pallas dma={dma:.0f} GB/s vs hbm={hbm:.0f} GB/s "
+              f"→ attn_impl={impl}", file=sys.stderr)
     return impl

@@ -90,6 +90,11 @@ register("int8_min_m", 64,
 register("engine_chunk_size", 128,
          "prompt tokens prefilled per engine step during admission "
          "(smaller = steadier decode cadence, larger = faster admission)")
+register("engine_harvest_depth", 4,
+         "decode steps chained on device per host fetch in Engine.run "
+         "(amortizes the dispatch-tunnel round trip; token streams are "
+         "bit-identical to depth 1 — completed slots' in-window extra "
+         "steps are masked and discarded)")
 register("weights_layout", "kernel",
          "quantized weight execution layout: 'kernel' (packed wire-density "
          "fields + fused Pallas matmuls), 'int8' (tile-major int8 + XLA "

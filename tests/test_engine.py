@@ -170,3 +170,36 @@ def test_engine_gpt2_matches_single():
                                        jnp.int32(len(prompt) + i))
             ref.append(int(tok[0]))
         assert done[rid].out == ref, (done[rid].out, ref)
+
+
+def test_engine_harvest_depth_parity():
+    """Windowed harvest (run() chaining engine_harvest_depth decode steps
+    per host fetch) must be token-exact vs depth 1, including an eos that
+    lands mid-window (the post-eos in-flight steps are discarded) and a
+    request admitted while another is mid-stream."""
+    from ggml_gfx906_tpu.utils import config
+
+    cfg, params = _tiny_model()
+
+    def serve(depth):
+        config.set("engine_harvest_depth", depth)
+        try:
+            eng = Engine(llama, cfg, params, max_batch=2, max_seq=64)
+            a = eng.submit([1, 2, 3], 12, seed=5, temp=0.8, top_k=30)
+            b = eng.submit([9, 8, 7, 6], 12, seed=9, temp=0.8, top_k=30)
+            done = {r.rid: r for r in eng.run()}
+            # eos mid-stream: pick the 3rd token of request a as its eos
+            eos = done[a].out[2]
+            eng = Engine(llama, cfg, params, max_batch=2, max_seq=64)
+            a2 = eng.submit([1, 2, 3], 12, seed=5, temp=0.8, top_k=30,
+                            eos_id=eos)
+            done2 = {r.rid: r for r in eng.run()}
+            return done[a].out, done[b].out, done2[a2].out
+        finally:
+            config.unset("engine_harvest_depth")
+
+    ref = serve(1)
+    for depth in (3, 8):
+        assert serve(depth) == ref, depth
+    # truncated exactly at the FIRST occurrence of the eos token
+    assert ref[2] == ref[0][:ref[0].index(ref[2][-1]) + 1]
