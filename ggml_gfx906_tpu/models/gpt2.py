@@ -166,10 +166,11 @@ def make_cache(cfg: GPT2Config, max_seq: int | None = None, dtype=None,
 
 
 def forward_batch(cfg: GPT2Config, params: dict, tokens: jax.Array,
-                  kv, start: jax.Array):
+                  kv, start: jax.Array, attn_window: int | None = None):
     """Batched serving forward over a BatchedKVCache — the reference's
     gpt-2 seq_id batching (examples/gpt-2/main-batched.cpp): tokens (B, S)
-    at per-slot positions start (B,) → (logits (B, S, V), kv)."""
+    at per-slot positions start (B,) → (logits (B, S, V), kv).
+    attn_window: see models/llama.py::forward_batch."""
     B, S = tokens.shape
     H, HD = cfg.n_head, cfg.head_dim
     dt = cfg.compute_dtype
@@ -184,8 +185,11 @@ def forward_batch(cfg: GPT2Config, params: dict, tokens: jax.Array,
         q = q.reshape(B, S, H, HD)
         kv = kv.update_layer(li, k.reshape(B, S, H, HD),
                              v.reshape(B, S, H, HD), start)
+        kc, vc = kv.k[li], kv.v[li]
+        if attn_window is not None:
+            kc, vc = kc[:, :, :attn_window], vc[:, :, :attn_window]
         att = ops.causal_flash_attn(
-            jnp.transpose(q, (0, 2, 1, 3)), kv.k[li], kv.v[li], start,
+            jnp.transpose(q, (0, 2, 1, 3)), kc, vc, start,
             scale=1.0 / (HD ** 0.5))
         att = jnp.transpose(att, (0, 2, 1, 3)).reshape(B, S, cfg.n_embd)
         x = x + _linear(att, blk["proj_w"], blk["proj_b"])

@@ -222,13 +222,21 @@ def generate(cfg: LlamaConfig, params: dict, prompt_tokens, n_predict: int,
 
 
 def forward_batch(cfg: LlamaConfig, params: dict, tokens: jax.Array,
-                  kv, start: jax.Array, tp_axis: str | None = None):
+                  kv, start: jax.Array, tp_axis: str | None = None,
+                  attn_window: int | None = None):
     """Batched serving forward: tokens (B, S) at per-slot positions
     start (B,) against a BatchedKVCache → (logits (B, S, V), kv).
 
     Slots are independent sequences (the reference's seq_id batching,
     examples/gpt-2/main-batched.cpp): each slot attends only to its own
-    cache region below its current position. tp_axis: see forward()."""
+    cache region below its current position. tp_axis: see forward().
+
+    attn_window (static): attend only over cache positions [0, window) —
+    the engine passes the smallest bucket covering the longest active slot,
+    so a short serving batch does not pay HBM reads for the full padded
+    max_seq cache (at B=8/max_seq=1024 the padded K/V read rivals the
+    weight stream itself). Callers must guarantee every valid position is
+    < attn_window; K/V writes still go to the full cache."""
     B, S = tokens.shape
     HD = cfg.head_dim
     dt = cfg.compute_dtype
@@ -245,10 +253,11 @@ def forward_batch(cfg: LlamaConfig, params: dict, tokens: jax.Array,
         q = _rope(cfg, q, pos)
         k = _rope(cfg, k, pos)
         kv = kv.update_layer(li, k, v, start)
+        kc, vc = kv.k[li], kv.v[li]      # cache already (B, H, max_seq, HD)
+        if attn_window is not None:
+            kc, vc = kc[:, :, :attn_window], vc[:, :, :attn_window]
         att = ops.causal_flash_attn(
-            jnp.transpose(q, (0, 2, 1, 3)),
-            kv.k[li],  # cache already (B, H, max_seq, HD)
-            kv.v[li],
+            jnp.transpose(q, (0, 2, 1, 3)), kc, vc,
             start, scale=1.0 / (HD ** 0.5))
         att = jnp.transpose(att, (0, 2, 1, 3)).reshape(B, S, H * HD)
         a = qmatmul(att, blk["wo"])

@@ -348,10 +348,16 @@ class QuantTensor:
             # int8 execution layout — numpy-side, so any registry codec
             # works; runs on the XLA segmented-integer-dot path
             from ..quant.registry import dequantize
+            from ..utils import config
 
+            tile = int(config.get("int8_tile"))
             w = dequantize(qtype, blocks).reshape(shape).astype(np.float32)
-            assert w.ndim == 2 and w.shape[1] % 128 == 0, shape
-            wt = w.reshape(w.shape[0], w.shape[1] // 128, 128)
+            while w.shape[1] % tile and tile > 32:   # e.g. K=11008 → 256
+                tile //= 2
+            while w.shape[1] // tile < 8 and tile > 128:  # ≥8 K-segments
+                tile //= 2                                # (floor 128)
+            assert w.ndim == 2 and w.shape[1] % tile == 0, (shape, tile)
+            wt = w.reshape(w.shape[0], w.shape[1] // tile, tile)
             amax = np.abs(wt).max(-1)
             dw = (amax / 127.0).astype(np.float32)
             inv = np.where(amax > 0, 127.0 / np.where(amax > 0, amax, 1.0),
@@ -391,7 +397,7 @@ class QuantTensor:
         elif self.layout == "int8":
             # tile-major fields carry both axes: rows on 1, K-tiles on 0
             w8t = self.fields["w8t"]
-            shp = (w8t.shape[1], w8t.shape[0] * 128)
+            shp = (w8t.shape[1], w8t.shape[0] * w8t.shape[2])
             if shp == tuple(self.shape):
                 return self
             return QuantTensor(self.qtype, shp, self.fields, self.layout)
@@ -403,30 +409,48 @@ class QuantTensor:
         return QuantTensor(self.qtype, shp, self.fields, self.layout)
 
 
-def to_int8_layout(qt: QuantTensor) -> QuantTensor:
+def to_int8_layout(qt: QuantTensor, tile: int | None = None) -> QuantTensor:
     """Convert any quantized weight to the XLA-native int8 execution
     layout: values requantized to int8 against the ACTUAL per-(row,
-    128-column-tile) max, plus the f32 tile scales.
+    K-tile) max, plus the f32 tile scales (tile width = config
+    "int8_tile", default 512 — see the config entry for measurements).
 
     Motivation (measured on the target runtime): Pallas kernels' HBM→VMEM
     DMA streams at ~19 GB/s here while XLA fusions sustain ~720 GB/s, so
     HBM-bound decode must run through XLA ops. This layout feeds XLA's
     native int8 dot via a per-tile segmented contraction (`qmatmul`),
-    streaming 8.25 bpw at full bandwidth — the same requantization error
-    class as the integer-MXU prefill kernels (bounded by tile max / 254)."""
+    streaming ~8.25 bpw at full bandwidth — the same requantization error
+    class as the integer-MXU prefill kernels (bounded by tile max / 254;
+    wider tiles stream marginally fewer scale bytes at slightly higher
+    requant error)."""
+    from_config = tile is None
+    if from_config:
+        from ..utils import config
+
+        tile = int(config.get("int8_tile"))
     w = dequant(qt)                                    # (N, K) f32
     n, k = w.shape
-    assert k % 128 == 0, (n, k)
-    wt = w.reshape(n, k // 128, 128)
+    while k % tile and tile > 32:      # e.g. llama's n_ff=11008 % 512 != 0
+        tile //= 2
+    if from_config:
+        # keep ≥8 K-segments so column TP can still shard the tile axis,
+        # but never below 128: sub-lane-width tiles measured numerically
+        # unstable under shard_map (XLA fuses the activation-quant chain
+        # differently sharded vs not at tile=64 — divergence at requant
+        # scale that disappears when the fusion is broken by a tap)
+        while k // tile < 8 and tile > 128:
+            tile //= 2
+    assert k % tile == 0, (n, k, tile)
+    wt = w.reshape(n, k // tile, tile)
     amax = jnp.max(jnp.abs(wt), axis=-1)
     dw = amax / 127.0
     inv = jnp.where(amax > 0, 127.0 / jnp.where(amax > 0, amax, 1.0), 0.0)
     w8 = jnp.clip(jnp.round(wt * inv[..., None]), -127.0, 127.0)
-    # stored tile-major (Kt, N, 128): the segmented contraction batches
+    # stored tile-major (Kt, N, tile): the segmented contraction batches
     # over tiles, and a row-major (N, K) layout would make XLA materialize
     # a full transposed copy of the weights EVERY matmul (measured: caps
     # decode at ~50 GB/s; tile-major streams at fusion speed)
-    w8t = jnp.swapaxes(w8.astype(jnp.int8), 0, 1)      # (Kt, N, 128)
+    w8t = jnp.swapaxes(w8.astype(jnp.int8), 0, 1)      # (Kt, N, tile)
     return QuantTensor(qt.qtype, qt.shape,
                        {"w8t": w8t, "dwt": dw.T}, "int8")
 
@@ -441,8 +465,9 @@ def _int8_layout_matmul(x: jax.Array, qt: QuantTensor) -> jax.Array:
     lead = x.shape[:-1]
     k = x.shape[-1]
     n = qt.shape[0]
-    kt = k // 128
-    x2 = x.reshape(-1, kt, 128).astype(jnp.float32)
+    tile = qt.fields["w8t"].shape[2]
+    kt = k // tile
+    x2 = x.reshape(-1, kt, tile).astype(jnp.float32)
     amax = jnp.max(jnp.abs(x2), axis=-1)
     ex = amax / 127.0
     inv = jnp.where(amax > 0, 127.0 / jnp.where(amax > 0, amax, 1.0), 0.0)

@@ -95,7 +95,8 @@ def shard_llama_params(mesh: Mesh, params: dict) -> dict:
         if _is_qt(x):
             tp = mesh.shape.get("tp", 1)
             if spec == COL:
-                gran = 128 if x.layout == "int8" else 256
+                gran = (x.fields["w8t"].shape[2] if x.layout == "int8"
+                        else 256)
                 assert (x.shape[1] // tp) % gran == 0, (x.shape, tp)
             if spec == ROW:
                 assert x.shape[0] % tp == 0, (x.shape, tp)

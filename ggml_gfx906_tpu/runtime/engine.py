@@ -96,6 +96,10 @@ class Engine:
         self.top_ks = np.ones(max_batch, np.int32)
         self.top_ps = np.ones(max_batch, np.float32)
         self.counters = np.zeros(max_batch, np.int32)
+        # host view of each slot's length INCLUDING in-flight decode steps
+        # (kv.lengths lags by the un-harvested window) — drives the
+        # attention-window bucket choice
+        self.host_len = np.zeros(max_batch, np.int32)
         self.queue: list[Request] = []
         self.pending: _Pending | None = None
         self.finished: list[Request] = []
@@ -104,11 +108,12 @@ class Engine:
         mm, c = self.m, self.cfg
 
         if mesh is None:
-            @functools.partial(jax.jit, donate_argnums=1)
+            @functools.partial(jax.jit, donate_argnums=1,
+                               static_argnums=9)
             def _decode_step(params, kv, toks, active, seeds, counters,
-                             temps, top_ks, top_ps):
+                             temps, top_ks, top_ps, window):
                 logits, kv = mm.forward_batch(c, params, toks[:, None], kv,
-                                              kv.lengths)
+                                              kv.lengths, attn_window=window)
                 keys = jax.vmap(
                     lambda s, ct: jax.random.fold_in(
                         jax.random.PRNGKey(s), ct))(seeds, counters)
@@ -138,9 +143,12 @@ class Engine:
                 return nxt, BatchedKVCache(kv.k, kv.v, new_len)
 
             def _decode_step(params, kv, toks, active, seeds, counters,
-                             temps, top_ks, top_ps):
+                             temps, top_ks, top_ps, window):
                 # tp_forward_batch donates kv; `start` must not alias the
-                # donated lengths buffer (XLA rejects donate(a) + use(a))
+                # donated lengths buffer (XLA rejects donate(a) + use(a)).
+                # `window` is ignored on the mesh path (the shard_map
+                # program is cached per tree structure, not per bucket).
+                del window
                 start = jnp.add(kv.lengths, 0)
                 logits, kv = tp_forward_batch(mesh, c, params, toks[:, None],
                                               kv, start)
@@ -249,6 +257,7 @@ class Engine:
         self.top_ks[b] = r.top_k
         self.top_ps[b] = r.top_p
         self.counters[b] = 1
+        self.host_len[b] = len(toks)
         r.out.append(first)
         self.cur_tok[b] = first
         # device-ordered after any in-flight decode dispatches, before the
@@ -268,6 +277,7 @@ class Engine:
             r.done = True
             self.finished.append(r)
             self.slots[b] = None
+            self.host_len[b] = 0
             self.kv = BatchedKVCache(
                 self.kv.k, self.kv.v,
                 self.kv.lengths.at[b].set(0))
@@ -279,6 +289,11 @@ class Engine:
         active = np.array([s is not None for s in self.slots], bool)
         if not active.any():
             return None
+        # attention window: smallest bucket covering the longest active
+        # slot (incl. this step's new position) — short batches then skip
+        # the HBM reads for the padded tail of the max_seq cache
+        window = min(self.max_seq,
+                     _bucket(int(self.host_len[active].max()) + 1))
         # .copy() snapshots are load-bearing: dispatch is ASYNC and
         # jnp.asarray can zero-copy alias host numpy memory (CPU backend),
         # so passing the live arrays races with the `counters += 1` /
@@ -288,9 +303,10 @@ class Engine:
             self.params, self.kv, self._tok_dev, jnp.asarray(active),
             jnp.asarray(self.seeds.copy()), jnp.asarray(self.counters.copy()),
             jnp.asarray(self.temps.copy()), jnp.asarray(self.top_ks.copy()),
-            jnp.asarray(self.top_ps.copy()))
+            jnp.asarray(self.top_ps.copy()), window)
         self._tok_dev = nxt
         self.counters += 1
+        self.host_len += active
         return nxt, [r.rid if r is not None else None for r in self.slots]
 
     def _harvest(self, rows, snaps):

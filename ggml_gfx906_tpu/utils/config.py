@@ -95,6 +95,12 @@ register("engine_harvest_depth", 4,
          "(amortizes the dispatch-tunnel round trip; token streams are "
          "bit-identical to depth 1 — completed slots' in-window extra "
          "steps are masked and discarded)")
+register("int8_tile", 512,
+         "K-tile width of the int8 execution layout (per-tile requant "
+         "scale granularity). Measured on hardware (8-layer 7B-shape "
+         "decode): 512 streams 623 GB/s vs 454 at 128 (+40% tok/s; fewer "
+         "segments fuse better), 1024 ties, 2048 regresses; logits NMSE "
+         "is tile-independent (Q4_K's own error dominates the requant)")
 register("weights_layout", "kernel",
          "quantized weight execution layout: 'kernel' (packed wire-density "
          "fields + fused Pallas matmuls), 'int8' (tile-major int8 + XLA "
