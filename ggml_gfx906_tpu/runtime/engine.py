@@ -29,6 +29,17 @@ from .batched_kv import BatchedKVCache
 from .sampling import sample_batch
 
 
+@jax.jit
+def _first_token(logits_row, seed, temp, top_k, top_p):
+    """Sample a freshly admitted request's first token ON DEVICE (counter 0
+    key). Admission must not fetch: a host read here drains the whole
+    dispatch queue and stalls every active slot for a full tunnel round
+    trip — the token is harvested later with the decode windows."""
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), 0)[None]
+    return sample_batch(logits_row[None], key, temp[None], top_k[None],
+                        top_p[None])[0]
+
+
 @dataclass
 class Request:
     rid: int
@@ -90,12 +101,23 @@ class Engine:
                 lambda leaf, sp: jax.device_put(
                     leaf, NamedSharding(mesh, sp)), self.kv, specs)
         self.slots: list[Request | None] = [None] * max_batch
-        self.cur_tok = np.zeros(max_batch, np.int32)
         self.seeds = np.zeros(max_batch, np.int32)
         self.temps = np.zeros(max_batch, np.float32)
         self.top_ks = np.ones(max_batch, np.int32)
         self.top_ps = np.ones(max_batch, np.float32)
         self.counters = np.zeros(max_batch, np.int32)
+        # device mirrors of the per-slot sampling state: re-uploaded only
+        # when a slot is (un)installed (a per-step host→device upload of
+        # each small array costs real tunnel latency); the counter vector
+        # chains through the decode program itself (+1 per dispatch, the
+        # same unconditional increment the host mirror applies)
+        self._state_dirty = True
+        self._active_dev = None
+        self._seeds_dev = self._ctr_dev = None
+        self._temps_dev = self._top_ks_dev = self._top_ps_dev = None
+        # first tokens of freshly admitted requests, sampled on device and
+        # harvested with the decode windows: (rid, slot, device scalar)
+        self._first_pending: list[tuple[int, int, jax.Array]] = []
         # host view of each slot's length INCLUDING in-flight decode steps
         # (kv.lengths lags by the un-harvested window) — drives the
         # attention-window bucket choice
@@ -108,7 +130,7 @@ class Engine:
         mm, c = self.m, self.cfg
 
         if mesh is None:
-            @functools.partial(jax.jit, donate_argnums=1,
+            @functools.partial(jax.jit, donate_argnums=(1, 5),
                                static_argnums=9)
             def _decode_step(params, kv, toks, active, seeds, counters,
                              temps, top_ks, top_ps, window):
@@ -121,7 +143,7 @@ class Engine:
                                    top_ps)
                 new_len = kv.lengths + active.astype(jnp.int32)
                 kv = BatchedKVCache(kv.k, kv.v, new_len)
-                return nxt, kv
+                return nxt, counters + 1, kv
 
             @functools.partial(jax.jit, donate_argnums=2)
             def _prefill_chunk(params, toks, kv_single, start):
@@ -140,7 +162,7 @@ class Engine:
                 nxt = sample_batch(logits[:, 0, :], keys, temps, top_ks,
                                    top_ps)
                 new_len = kv.lengths + active.astype(jnp.int32)
-                return nxt, BatchedKVCache(kv.k, kv.v, new_len)
+                return nxt, counters + 1, BatchedKVCache(kv.k, kv.v, new_len)
 
             def _decode_step(params, kv, toks, active, seeds, counters,
                              temps, top_ks, top_ps, window):
@@ -172,6 +194,11 @@ class Engine:
             return toks.at[b].set(t)
 
         self._set_tok = _set_tok
+        # jitted so the whole window stacks in ONE dispatch: eager
+        # jnp.stack issues one expand_dims per element plus a concat, and
+        # each eager op pays a full tunnel dispatch (measured ~115 ms per
+        # 16-step window — 3x the window's actual decode time)
+        self._stack = jax.jit(lambda ts: jnp.stack(ts))
         # device-resident next-token vector: decode dispatches chain through
         # it without a host round-trip (windowed harvest, see run())
         self._tok_dev = jnp.zeros(max_batch, jnp.int32)
@@ -193,20 +220,35 @@ class Engine:
     def run(self) -> list[Request]:
         """Run until all submitted requests complete; returns them.
 
-        Decode dispatches are windowed: up to `engine_harvest_depth` steps
-        chain on device through the resident next-token vector before ONE
-        host fetch harvests the window's tokens (a per-step fetch pays the
-        full dispatch-tunnel round trip — measured ~20 ms — serially; the
-        window amortizes it over J steps). Token streams are bit-identical
-        to depth 1: sampling keys derive from (seed, dispatch counter) only,
-        and post-completion in-window steps are discarded at harvest."""
+        Decode dispatches are windowed AND pipelined: up to
+        `engine_harvest_depth` steps chain on device through the resident
+        next-token vector, and window k is harvested only AFTER window k+1
+        has been dispatched — the harvest fetch (a full dispatch-tunnel
+        round trip, measured ~20 ms) then overlaps window k+1's device
+        execution instead of idling the chip. Token streams are
+        bit-identical to depth 1: sampling keys derive from (seed, per-slot
+        dispatch counter) only, and post-completion in-flight steps are
+        discarded at harvest by the slot→rid snapshots."""
         depth = max(1, int(config.get("engine_harvest_depth")))
-        while (self.queue or self.pending
-               or any(s is not None for s in self.slots)):
-            if depth == 1:
+        if depth == 1:
+            while (self.queue or self.pending
+                   or any(s is not None for s in self.slots)):
                 self.step()
-            else:
-                self._pump_window(depth)
+            out, self.finished = self.finished, []
+            return out
+        prev = None
+        while True:
+            work = bool(self.queue or self.pending
+                        or any(s is not None for s in self.slots))
+            cur = self._dispatch_window(depth) if work else None
+            if prev:
+                stacked, snaps = prev
+                self._harvest(np.asarray(stacked), snaps)
+            elif self._first_pending:
+                self._harvest(np.zeros((0, self.max_batch), np.int32), [])
+            prev = cur
+            if cur is None and not work:
+                break
         out, self.finished = self.finished, []
         return out
 
@@ -240,15 +282,14 @@ class Engine:
         p.done_tokens += len(chunk)
         if p.done_tokens < len(toks):
             return
-        # prompt complete → sample the first token and install the slot
+        # prompt complete → sample the first token ON DEVICE and install
+        # the slot; the token value is harvested later (no host fetch here:
+        # it would drain the in-flight decode queue and stall every slot)
         b = self._free_slot()
         r = p.req
-        keys = jax.random.fold_in(jax.random.PRNGKey(r.seed), 0)[None]
-        first = int(sample_batch(
-            logits[len(chunk) - 1][None], keys,
-            jnp.asarray([r.temp], jnp.float32),
-            jnp.asarray([r.top_k], jnp.int32),
-            jnp.asarray([r.top_p], jnp.float32))[0])
+        first = _first_token(logits[len(chunk) - 1], jnp.int32(r.seed),
+                             jnp.float32(r.temp), jnp.int32(r.top_k),
+                             jnp.float32(r.top_p))
         self.kv = self._install(self.kv, jnp.int32(b), p.kv.k, p.kv.v,
                                 jnp.int32(len(toks)))
         self.slots[b] = r
@@ -258,14 +299,12 @@ class Engine:
         self.top_ps[b] = r.top_p
         self.counters[b] = 1
         self.host_len[b] = len(toks)
-        r.out.append(first)
-        self.cur_tok[b] = first
+        self._first_pending.append((r.rid, b, first))
         # device-ordered after any in-flight decode dispatches, before the
         # next one — the new slot's first input token
-        self._tok_dev = self._set_tok(self._tok_dev, jnp.int32(b),
-                                      jnp.int32(first))
+        self._tok_dev = self._set_tok(self._tok_dev, jnp.int32(b), first)
+        self._state_dirty = True
         self.pending = None
-        self._check_done(b)
 
     def _check_done(self, b: int):
         r = self.slots[b]
@@ -278,6 +317,7 @@ class Engine:
             self.finished.append(r)
             self.slots[b] = None
             self.host_len[b] = 0
+            self._state_dirty = True
             self.kv = BatchedKVCache(
                 self.kv.k, self.kv.v,
                 self.kv.lengths.at[b].set(0))
@@ -294,16 +334,24 @@ class Engine:
         # the HBM reads for the padded tail of the max_seq cache
         window = min(self.max_seq,
                      _bucket(int(self.host_len[active].max()) + 1))
-        # .copy() snapshots are load-bearing: dispatch is ASYNC and
-        # jnp.asarray can zero-copy alias host numpy memory (CPU backend),
-        # so passing the live arrays races with the `counters += 1` /
-        # admission mutations below — observed as nondeterministic sampling
-        # keys until the buffers were snapshotted
-        nxt, self.kv = self._decode_step(
-            self.params, self.kv, self._tok_dev, jnp.asarray(active),
-            jnp.asarray(self.seeds.copy()), jnp.asarray(self.counters.copy()),
-            jnp.asarray(self.temps.copy()), jnp.asarray(self.top_ks.copy()),
-            jnp.asarray(self.top_ps.copy()), window)
+        if self._state_dirty:
+            # .copy() snapshots are load-bearing: dispatch is ASYNC and
+            # jnp.asarray can zero-copy alias host numpy memory (CPU
+            # backend), so uploading the live arrays races with the
+            # `counters += 1` / admission mutations — observed as
+            # nondeterministic sampling keys until the buffers were
+            # snapshotted
+            self._active_dev = jnp.asarray(active)
+            self._seeds_dev = jnp.asarray(self.seeds.copy())
+            self._ctr_dev = jnp.asarray(self.counters.copy())
+            self._temps_dev = jnp.asarray(self.temps.copy())
+            self._top_ks_dev = jnp.asarray(self.top_ks.copy())
+            self._top_ps_dev = jnp.asarray(self.top_ps.copy())
+            self._state_dirty = False
+        nxt, self._ctr_dev, self.kv = self._decode_step(
+            self.params, self.kv, self._tok_dev, self._active_dev,
+            self._seeds_dev, self._ctr_dev, self._temps_dev,
+            self._top_ks_dev, self._top_ps_dev, window)
         self._tok_dev = nxt
         self.counters += 1
         self.host_len += active
@@ -312,13 +360,24 @@ class Engine:
     def _harvest(self, rows, snaps):
         """Apply fetched token rows to host bookkeeping. Rows belonging to a
         slot whose request completed earlier in the window (rid mismatch or
-        freed slot) are discarded — the outputs match depth-1 exactly."""
+        freed slot) are discarded — the outputs match depth-1 exactly.
+
+        Deferred admission first-tokens drain before the rows: a slot's
+        first token always precedes its decode rows (rows dispatched before
+        its installation carry the previous occupant's rid and are
+        discarded by the snapshot check)."""
+        if self._first_pending:
+            firsts, self._first_pending = self._first_pending, []
+            for rid, b, tok_dev in firsts:
+                r = self.slots[b]
+                if r is not None and r.rid == rid:
+                    r.out.append(int(tok_dev))
+                    self._check_done(b)
         for row, snap in zip(rows, snaps):
             for b, rid in enumerate(snap):
                 r = self.slots[b]
                 if r is not None and r.rid == rid:
                     r.out.append(int(row[b]))
-                    self.cur_tok[b] = int(row[b])
                     self._check_done(b)
 
     def step(self):
@@ -332,9 +391,16 @@ class Engine:
         nxt, snap = d
         self._harvest(np.asarray(nxt)[None], [snap])
 
-    def _pump_window(self, depth: int):
-        """Dispatch up to `depth` chained decode steps (admission chunk
-        before each), then harvest them with ONE device fetch."""
+    def _dispatch_window(self, depth: int):
+        """Dispatch up to `depth` chained decode steps (one admission chunk
+        before each); returns (stacked_tokens_device, snapshots) or None.
+
+        The window's tokens are stacked and their host copy STARTED here —
+        before the next window's dispatches enter the (in-order) device
+        queue. Enqueueing the stack at harvest time instead made the fetch
+        wait for the *following* window's compute as well (measured 178 ms
+        per 16-step window vs ~40 ms of actual decode). The caller fetches
+        the value only after dispatching the next window (run())."""
         inflight = []
         for _ in range(depth):
             abort.check()
@@ -344,6 +410,10 @@ class Engine:
                 break
             inflight.append(d)
         if not inflight:
-            return
-        rows = np.asarray(jnp.stack([nxt for nxt, _ in inflight]))
-        self._harvest(rows, [snap for _, snap in inflight])
+            return None
+        stacked = self._stack([nxt for nxt, _ in inflight])
+        # NOTE: no copy_to_host_async here — on the tunnel runtime it
+        # BLOCKS until the value is ready (measured ~90 ms per window,
+        # serializing host and device); the harvest-side np.asarray after
+        # the next window's dispatch overlaps the wait instead
+        return stacked, [snap for _, snap in inflight]

@@ -90,11 +90,12 @@ register("int8_min_m", 64,
 register("engine_chunk_size", 128,
          "prompt tokens prefilled per engine step during admission "
          "(smaller = steadier decode cadence, larger = faster admission)")
-register("engine_harvest_depth", 4,
-         "decode steps chained on device per host fetch in Engine.run "
-         "(amortizes the dispatch-tunnel round trip; token streams are "
-         "bit-identical to depth 1 — completed slots' in-window extra "
-         "steps are masked and discarded)")
+register("engine_harvest_depth", 8,
+         "decode steps chained on device per harvest in Engine.run; "
+         "windows are pipelined (window k is fetched after window k+1 is "
+         "dispatched, overlapping the fetch round-trip with device "
+         "execution). Token streams are bit-identical to depth 1 — "
+         "completed slots' in-flight extra steps are masked and discarded")
 register("int8_tile", 512,
          "K-tile width of the int8 execution layout (per-tile requant "
          "scale granularity). Measured on hardware (8-layer 7B-shape "
