@@ -1,0 +1,28 @@
+"""The conformance harness itself is under test (a broken case table or
+runner would silently void the hardware-validation story).
+
+ref: tests/test-backend-ops.cpp — CI runs MODE_TEST on the CPU backend
+(.github/workflows/ci.yml); the full sweep on real hardware is
+`python -m ggml_gfx906_tpu.tools.backend_ops test grad perf support`.
+"""
+from ggml_gfx906_tpu.tools import backend_ops
+
+
+def test_mode_test_subset():
+    rc = backend_ops.main(["test", "--op", "qmm", "--op", "rope",
+                           "--op", "flash", "--op", "norm"])
+    assert rc == 0
+
+
+def test_mode_grad_subset():
+    rc = backend_ops.main(["grad", "--op", "rms_norm", "--op", "soft_max",
+                           "--op", "matmul_f32", "--op", "conv_2d"])
+    assert rc == 0
+
+
+def test_mode_support_prints():
+    assert backend_ops.main(["support"]) == 0
+
+
+def test_filter_rejects_unknown():
+    assert backend_ops.main(["test", "--op", "no_such_op_xyz"]) == 2
