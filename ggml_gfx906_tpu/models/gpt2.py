@@ -185,12 +185,10 @@ def forward_batch(cfg: GPT2Config, params: dict, tokens: jax.Array,
         q = q.reshape(B, S, H, HD)
         kv = kv.update_layer(li, k.reshape(B, S, H, HD),
                              v.reshape(B, S, H, HD), start)
-        kc, vc = kv.k[li], kv.v[li]
-        if attn_window is not None:
-            kc, vc = kc[:, :, :attn_window], vc[:, :, :attn_window]
+        kc, vc, kd, vd = kv.layer_kv(li, attn_window)
         att = ops.causal_flash_attn(
             jnp.transpose(q, (0, 2, 1, 3)), kc, vc, start,
-            scale=1.0 / (HD ** 0.5))
+            scale=1.0 / (HD ** 0.5), k_scale=kd, v_scale=vd)
         att = jnp.transpose(att, (0, 2, 1, 3)).reshape(B, S, cfg.n_embd)
         x = x + _linear(att, blk["proj_w"], blk["proj_b"])
         h2 = _ln(x, blk["ln2_g"], blk["ln2_b"], cfg.ln_eps)

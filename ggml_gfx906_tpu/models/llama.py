@@ -253,12 +253,10 @@ def forward_batch(cfg: LlamaConfig, params: dict, tokens: jax.Array,
         q = _rope(cfg, q, pos)
         k = _rope(cfg, k, pos)
         kv = kv.update_layer(li, k, v, start)
-        kc, vc = kv.k[li], kv.v[li]      # cache already (B, H, max_seq, HD)
-        if attn_window is not None:
-            kc, vc = kc[:, :, :attn_window], vc[:, :, :attn_window]
+        kc, vc, kd, vd = kv.layer_kv(li, attn_window)
         att = ops.causal_flash_attn(
             jnp.transpose(q, (0, 2, 1, 3)), kc, vc,
-            start, scale=1.0 / (HD ** 0.5))
+            start, scale=1.0 / (HD ** 0.5), k_scale=kd, v_scale=vd)
         att = jnp.transpose(att, (0, 2, 1, 3)).reshape(B, S, H * HD)
         a = qmatmul(att, blk["wo"])
         if tp_axis:

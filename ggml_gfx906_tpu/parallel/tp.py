@@ -126,8 +126,8 @@ def _kv_specs(kv, batched: bool):
     def spec(leaf):
         if leaf.ndim == 4:   # (B, KVH, S, D)
             return P("dp" if batched else None, "tp", None, None)
-        if leaf.ndim == 3:   # (KVH, S, D)
-            return P("tp", None, None)
+        if leaf.ndim == 3:   # (KVH, S, D) — or batched quant scales (B, KVH, S)
+            return P("dp", "tp", None) if batched else P("tp", None, None)
         if leaf.ndim == 2:   # quantized-KV scales (KVH, S)
             return P("tp", None)
         return P("dp") if batched and leaf.ndim == 1 else P()

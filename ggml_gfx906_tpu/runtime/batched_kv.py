@@ -7,6 +7,12 @@ Here each request owns a slot b of preallocated per-layer
 attention masks, and slot recycling is the continuous-batching part
 (runtime/engine.py). Per-layer arrays for the same in-place-update reason
 as KVCache.
+
+Quantized mode (`quant=True`) mirrors KVCache's int8 rows + per-(slot,
+head, position) f32 absmax scales — the serving-side analogue of the
+reference's quantized-KV FlashAttention instances (src/ggml-cuda/
+fattn.cu:180-270). At B=8/max_seq=1024 the dense bf16 cache read rivals
+the weight stream itself; int8 halves it.
 """
 from __future__ import annotations
 
@@ -15,16 +21,20 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
+from .kv_cache import quantize_rows
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class BatchedKVCache:
     k: tuple  # per layer: (B, n_kv_head, max_seq, head_dim)
     v: tuple
+    k_d: tuple  # per layer: (B, n_kv_head, max_seq) f32 scales, or () dense
+    v_d: tuple
     lengths: jax.Array  # (B,) int32 valid positions per slot
 
     def tree_flatten(self):
-        return (self.k, self.v, self.lengths), None
+        return (self.k, self.v, self.k_d, self.v_d, self.lengths), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -32,13 +42,23 @@ class BatchedKVCache:
 
     @classmethod
     def create(cls, n_layer: int, max_batch: int, max_seq: int,
-               n_kv_head: int, head_dim: int, dtype=jnp.float32):
+               n_kv_head: int, head_dim: int, dtype=jnp.float32,
+               quant: bool = False):
         shape = (max_batch, n_kv_head, max_seq, head_dim)
         # one allocation sliced apart — see runtime/kv_cache.py::create
-        buf = jnp.zeros((2 * n_layer,) + shape, dtype)
-        return cls(tuple(buf[i] for i in range(n_layer)),
-                   tuple(buf[n_layer + i] for i in range(n_layer)),
-                   jnp.zeros((max_batch,), jnp.int32))
+        buf = jnp.zeros((2 * n_layer,) + shape, jnp.int8 if quant else dtype)
+        k = tuple(buf[i] for i in range(n_layer))
+        v = tuple(buf[n_layer + i] for i in range(n_layer))
+        if quant:
+            dbuf = jnp.zeros((2 * n_layer,) + shape[:3], jnp.float32)
+            return cls(k, v, tuple(dbuf[i] for i in range(n_layer)),
+                       tuple(dbuf[n_layer + i] for i in range(n_layer)),
+                       jnp.zeros((max_batch,), jnp.int32))
+        return cls(k, v, (), (), jnp.zeros((max_batch,), jnp.int32))
+
+    @property
+    def quantized(self) -> bool:
+        return len(self.k_d) > 0
 
     @property
     def max_batch(self) -> int:
@@ -48,9 +68,25 @@ class BatchedKVCache:
     def max_seq(self) -> int:
         return self.k[0].shape[2]
 
+    def with_lengths(self, lengths) -> "BatchedKVCache":
+        return BatchedKVCache(self.k, self.v, self.k_d, self.v_d, lengths)
+
+    def layer_kv(self, layer: int, window: int | None = None):
+        """(k, v, k_scale, v_scale) for attention, optionally windowed to
+        cache positions [0, window) — scales None when dense."""
+        kc, vc = self.k[layer], self.v[layer]
+        kd = self.k_d[layer] if self.quantized else None
+        vd = self.v_d[layer] if self.quantized else None
+        if window is not None:
+            kc, vc = kc[:, :, :window], vc[:, :, :window]
+            if kd is not None:
+                kd, vd = kd[:, :, :window], vd[:, :, :window]
+        return kc, vc, kd, vd
+
     def update_layer(self, layer: int, k_new: jax.Array, v_new: jax.Array,
                      start: jax.Array) -> "BatchedKVCache":
         """Write (B, S, n_kv_head, hd) at per-slot positions start (B,)."""
+        quant = self.quantized
 
         def write(buf, new):
             def one(slot_buf, slot_new, s0):
@@ -60,19 +96,44 @@ class BatchedKVCache:
 
             return jax.vmap(one)(buf, new, start)
 
+        def write_scale(dbuf, dnew):
+            def one(slot_d, slot_new, s0):
+                return jax.lax.dynamic_update_slice(slot_d, slot_new,
+                                                    (0, s0))
+            return jax.vmap(one)(dbuf, dnew, start)
+
+        kd, vd = self.k_d, self.v_d
+        if quant:
+            # (B, S, H, D) → per-row int8 + (B, H, S) scales
+            kq, kdn = quantize_rows(jnp.transpose(k_new, (0, 2, 1, 3)))
+            vq, vdn = quantize_rows(jnp.transpose(v_new, (0, 2, 1, 3)))
+            k_new = jnp.transpose(kq, (0, 2, 1, 3))
+            v_new = jnp.transpose(vq, (0, 2, 1, 3))
+            kd_l = write_scale(kd[layer], kdn)
+            vd_l = write_scale(vd[layer], vdn)
+            kd = kd[:layer] + (kd_l,) + kd[layer + 1:]
+            vd = vd[:layer] + (vd_l,) + vd[layer + 1:]
         k = self.k[:layer] + (write(self.k[layer], k_new),) + self.k[layer + 1:]
         v = self.v[:layer] + (write(self.v[layer], v_new),) + self.v[layer + 1:]
-        return BatchedKVCache(k, v, self.lengths)
+        return BatchedKVCache(k, v, kd, vd, self.lengths)
 
-    def set_slot(self, b, k_slot: tuple, v_slot: tuple,
-                 length) -> "BatchedKVCache":
+    def set_slot(self, b, k_slot: tuple, v_slot: tuple, length,
+                 k_d: tuple = (), v_d: tuple = ()) -> "BatchedKVCache":
         """Install a prefilled single-sequence cache (per-layer (H, S, D)
-        tuples) into slot b (used when admitting a new request)."""
+        tuples, plus (H, S) scale tuples when quantized) into slot b (used
+        when admitting a new request)."""
 
         def ins(buf, new):
             return jax.lax.dynamic_update_slice(
                 buf, new[None].astype(buf.dtype), (b, 0, 0, 0))
 
+        def ins_d(dbuf, dnew):
+            return jax.lax.dynamic_update_slice(dbuf, dnew[None], (b, 0, 0))
+
         k = tuple(ins(kb, kn) for kb, kn in zip(self.k, k_slot))
         v = tuple(ins(vb, vn) for vb, vn in zip(self.v, v_slot))
-        return BatchedKVCache(k, v, self.lengths.at[b].set(length))
+        kd, vd = self.k_d, self.v_d
+        if self.quantized:
+            kd = tuple(ins_d(db, dn) for db, dn in zip(kd, k_d))
+            vd = tuple(ins_d(db, dn) for db, dn in zip(vd, v_d))
+        return BatchedKVCache(k, v, kd, vd, self.lengths.at[b].set(length))

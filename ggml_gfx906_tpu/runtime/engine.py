@@ -87,10 +87,13 @@ class Engine:
         self.max_seq = max_seq
         self.chunk_size = chunk_size or config.get("engine_chunk_size")
         self.mesh = mesh
+        # int8 K/V with per-(slot, head, position) scales (ref quantized-KV
+        # fattn instances, fattn.cu:180-270) — config "kv_quant"
+        self.kv_quant = bool(config.get("kv_quant"))
         kvh = getattr(cfg, "n_kv_head", None) or cfg.n_head
         self.kv = BatchedKVCache.create(
             cfg.n_layer, max_batch, max_seq, kvh, cfg.head_dim,
-            dtype=cfg.compute_dtype)
+            dtype=cfg.compute_dtype, quant=self.kv_quant)
         if mesh is not None:
             from jax.sharding import NamedSharding
 
@@ -142,8 +145,7 @@ class Engine:
                 nxt = sample_batch(logits[:, 0, :], keys, temps, top_ks,
                                    top_ps)
                 new_len = kv.lengths + active.astype(jnp.int32)
-                kv = BatchedKVCache(kv.k, kv.v, new_len)
-                return nxt, counters + 1, kv
+                return nxt, counters + 1, kv.with_lengths(new_len)
 
             @functools.partial(jax.jit, donate_argnums=2)
             def _prefill_chunk(params, toks, kv_single, start):
@@ -162,7 +164,7 @@ class Engine:
                 nxt = sample_batch(logits[:, 0, :], keys, temps, top_ks,
                                    top_ps)
                 new_len = kv.lengths + active.astype(jnp.int32)
-                return nxt, counters + 1, BatchedKVCache(kv.k, kv.v, new_len)
+                return nxt, counters + 1, kv.with_lengths(new_len)
 
             def _decode_step(params, kv, toks, active, seeds, counters,
                              temps, top_ks, top_ps, window):
@@ -184,8 +186,8 @@ class Engine:
         self._prefill_chunk = _prefill_chunk
 
         @functools.partial(jax.jit, donate_argnums=0)
-        def _install(kv, b, k_slot, v_slot, length):
-            return kv.set_slot(b, k_slot, v_slot, length)
+        def _install(kv, b, k_slot, v_slot, length, k_d=(), v_d=()):
+            return kv.set_slot(b, k_slot, v_slot, length, k_d, v_d)
 
         self._install = _install
 
@@ -268,8 +270,10 @@ class Engine:
             if not self.queue or self._free_slot() is None:
                 return
             r = self.queue.pop(0)
-            self.pending = _Pending(r, self.m.make_cache(
-                self.cfg, self.max_seq))
+            mk = (self.m.make_cache(self.cfg, self.max_seq, quant=True)
+                  if self.kv_quant
+                  else self.m.make_cache(self.cfg, self.max_seq))
+            self.pending = _Pending(r, mk)
         p = self.pending
         toks = p.req.prompt
         chunk = toks[p.done_tokens:p.done_tokens + self.chunk_size]
@@ -291,7 +295,7 @@ class Engine:
                              jnp.float32(r.temp), jnp.int32(r.top_k),
                              jnp.float32(r.top_p))
         self.kv = self._install(self.kv, jnp.int32(b), p.kv.k, p.kv.v,
-                                jnp.int32(len(toks)))
+                                jnp.int32(len(toks)), p.kv.k_d, p.kv.v_d)
         self.slots[b] = r
         self.seeds[b] = r.seed
         self.temps[b] = r.temp
@@ -318,9 +322,7 @@ class Engine:
             self.slots[b] = None
             self.host_len[b] = 0
             self._state_dirty = True
-            self.kv = BatchedKVCache(
-                self.kv.k, self.kv.v,
-                self.kv.lengths.at[b].set(0))
+            self.kv = self.kv.with_lengths(self.kv.lengths.at[b].set(0))
 
     def _dispatch(self):
         """Enqueue one batched decode step (NO host sync) chained through

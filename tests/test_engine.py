@@ -203,3 +203,28 @@ def test_engine_harvest_depth_parity():
         assert serve(depth) == ref, depth
     # truncated exactly at the FIRST occurrence of the eos token
     assert ref[2] == ref[0][:ref[0].index(ref[2][-1]) + 1]
+
+
+def test_engine_quantized_kv_matches_single():
+    """Serving with the int8 KV cache (config kv_quant) must be
+    token-identical to single-sequence generate with kv_quant=True — the
+    same per-row quantization and scale-folded attention on both paths
+    (ref quantized-KV fattn instances, src/ggml-cuda/fattn.cu:180-270)."""
+    from ggml_gfx906_tpu.utils import config
+
+    cfg, params = _tiny_model()
+    prompts = [[1, 2, 3], [9, 8, 7, 6], [42]]
+    config.set("kv_quant", True)
+    try:
+        eng = Engine(llama, cfg, params, max_batch=3, max_seq=64)
+        rids = [eng.submit(p, 6) for p in prompts]
+        done = {r.rid: r for r in eng.run()}
+        for rid, prompt in zip(rids, prompts):
+            expect = llama.generate(cfg, params, prompt, 6, max_seq=64,
+                                    kv_quant=True)
+            assert prompt + done[rid].out == expect, (prompt,
+                                                      done[rid].out, expect)
+    finally:
+        config.unset("kv_quant")
+    # and the quantized cache really is int8 under the hood
+    assert eng.kv.quantized
