@@ -129,3 +129,52 @@ class OffloadSplit:
         x = jax.device_put(x, self.host_device)      # the boundary copy
         logits, kv_host = back(self.host_params, x, kv_host, start)
         return logits, (kv_dev, kv_host)
+
+
+def _tree_bytes(tree) -> int:
+    leaves = jax.tree.leaves(
+        tree, is_leaf=lambda x: isinstance(x, QuantTensor))
+    total = 0
+    for leaf in leaves:
+        if isinstance(leaf, QuantTensor):
+            total += leaf.nbytes
+        else:
+            total += leaf.size * leaf.dtype.itemsize
+    return total
+
+
+def auto_split(cfg, params: dict, max_seq: int, device=None,
+               budget_bytes: int | None = None,
+               headroom: float = 0.85) -> int:
+    """Choose n_device_layers for OffloadSplit from the device's memory —
+    the auto `-ngl` (the reference's scheduler places weights by memory
+    gravity, src/ggml-backend.cpp:871-906; llama.cpp users tune -ngl until
+    the model fits — this measures instead).
+
+    Accounts per-layer weight bytes (packed QuantTensor fields at their
+    true device footprint) plus that layer's KV slab at max_seq, against
+    `headroom` × free device memory (memory_stats when the backend
+    reports it, else `budget_bytes` must be given). Returns the largest
+    layer count that fits, ≥ 0 (embedding table is charged to the device
+    side, as OffloadSplit places it)."""
+    device = device or jax.devices()[0]
+    if budget_bytes is None:
+        stats = device.memory_stats() or {}
+        limit = stats.get("bytes_limit")
+        in_use = stats.get("bytes_in_use", 0)
+        if limit is None:
+            raise ValueError("device reports no memory_stats; pass "
+                             "budget_bytes")
+        budget_bytes = limit - in_use
+    budget = int(budget_bytes * headroom)
+    kv_layer = (2 * max_seq * cfg.n_kv_head * cfg.head_dim
+                * jnp.dtype(cfg.compute_dtype).itemsize)
+    fixed = _tree_bytes(params["wte"])
+    n = 0
+    for blk in params["blocks"]:
+        need = _tree_bytes(blk) + kv_layer
+        if fixed + need > budget:
+            break
+        fixed += need
+        n += 1
+    return n

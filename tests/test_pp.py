@@ -78,3 +78,30 @@ def test_offload_split_matches_single(dense_params):
     nmse2 = ((np.asarray(got2) - np.asarray(ref2)) ** 2).sum() / \
         (np.asarray(ref2) ** 2).sum()
     assert nmse2 < 1e-9, nmse2
+
+
+def test_auto_split_memory_gravity(dense_params):
+    """auto_split picks the largest device-layer count whose weights+KV
+    fit the budget (the measured auto -ngl; ref scheduler pass 1 weights
+    gravity, src/ggml-backend.cpp:871-906)."""
+    from ggml_gfx906_tpu.models.offload import (OffloadSplit, _tree_bytes,
+                                                auto_split)
+
+    cfg, params = CFG, dense_params
+
+    kv_layer = (2 * 64 * cfg.n_kv_head * cfg.head_dim
+                * jnp.dtype(cfg.compute_dtype).itemsize)
+    per_layer = _tree_bytes(params["blocks"][0]) + kv_layer
+    wte = _tree_bytes(params["wte"])
+    # budget for exactly 2 layers (headroom=1 for determinism)
+    budget = wte + 2 * per_layer + per_layer // 2
+    n = auto_split(cfg, params, 64, budget_bytes=budget, headroom=1.0)
+    assert n == 2, n
+    # zero budget -> nothing on device; huge -> everything
+    assert auto_split(cfg, params, 64, budget_bytes=wte,
+                      headroom=1.0) == 0
+    assert auto_split(cfg, params, 64, budget_bytes=10 ** 12,
+                      headroom=1.0) == cfg.n_layer
+    # and the chosen split actually runs
+    split = OffloadSplit.build(cfg, params, n)
+    assert split.n_dev == n
