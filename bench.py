@@ -220,10 +220,10 @@ def bench_llama7b():
 
     eng = Engine(llama, cfg, params, max_batch=8, max_seq=max_seq)
     rng2 = np.random.default_rng(1)
-    n_new = 48
+    n_new = 128
     # warm-up: one full-length request compiles the prefill bucket, the
     # slot install, and the decode+sample program for EVERY attention-
-    # window bucket the timed run will cross (32/64/128 at these lengths)
+    # window bucket the timed run will cross (32..256 at these lengths)
     # — compilation costs tens of seconds each on this host and must not
     # land in the timed run
     eng.submit(rng2.integers(1, 1000, 24).tolist(), n_new)

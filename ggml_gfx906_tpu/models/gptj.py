@@ -139,9 +139,11 @@ def forward_jit(cfg, params, tokens, kv, start):
     return forward(cfg, params, tokens, kv, start)
 
 
-def make_cache(cfg: GPTJConfig, max_seq: int | None = None, dtype=None):
+def make_cache(cfg: GPTJConfig, max_seq: int | None = None, dtype=None,
+               quant: bool = False):
     return KVCache.create(cfg.n_layer, max_seq or cfg.n_ctx, cfg.n_head,
-                          cfg.head_dim, dtype or cfg.compute_dtype)
+                          cfg.head_dim, dtype or cfg.compute_dtype,
+                          quant=quant)
 
 
 def generate(cfg, params, prompt_tokens, n_predict, sampler=None,

@@ -357,8 +357,11 @@ def out_prod(a, b):
         for ax, r in enumerate(reps):
             if r > 1:
                 a = jnp.repeat(a, r, axis=ax)
+    # HIGHEST: TPU default einsum rounds f32 operands through bf16 —
+    # measured NMSE ~6e-6 vs the CPU backend on the conformance sweep
     return jnp.einsum("...nm,...np->...pm", a, b,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 # ---------------------------------------------------------------- reductions

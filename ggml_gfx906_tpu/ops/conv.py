@@ -26,6 +26,9 @@ def _conv(x, w, stride, padding, dilation, feature_group_count=1):
         dimension_numbers=("NCH", "OIH", "NCH") if dims == 1 else ("NCHW", "OIHW", "NCHW"),
         feature_group_count=feature_group_count,
         preferred_element_type=jnp.float32,
+        # HIGHEST: TPU default conv rounds f32 through bf16 (NMSE ~5e-6 vs
+        # the CPU backend on the conformance sweep); ggml convs are full f32
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -58,7 +61,8 @@ def conv_3d(x, w, stride=(1, 1, 1), padding=(0, 0, 0), dilation=(1, 1, 1)):
         x.astype(jnp.float32), w.astype(jnp.float32),
         window_strides=s, padding=[(pi, pi) for pi in p], rhs_dilation=d,
         dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def conv_2d_dw(x, w, stride=(1, 1), padding=(0, 0), dilation=(1, 1)):
@@ -85,6 +89,7 @@ def conv_transpose_1d(x, w, stride: int = 1, padding: int = 0, dilation: int = 1
         rhs_dilation=(dilation,),
         dimension_numbers=("NCH", "OIH", "NCH"),
         transpose_kernel=True,
+        precision=jax.lax.Precision.HIGHEST,
     )
     if padding:
         out = out[..., padding:-padding]
@@ -101,6 +106,7 @@ def conv_transpose_2d(x, w, stride: int = 1):
         padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         transpose_kernel=True,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

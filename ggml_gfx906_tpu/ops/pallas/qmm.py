@@ -37,10 +37,28 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+_FORCE_INTERPRET = [False]
+
+
 def _interpret() -> bool:
     # compiled on TPU; interpreter mode elsewhere so tests exercise the
-    # same kernel logic on CPU
-    return jax.default_backend() != "tpu"
+    # same kernel logic on CPU. force_interpret() lets a TPU process trace
+    # the interpret variant (the conformance harness's CPU-oracle leg).
+    return _FORCE_INTERPRET[0] or jax.default_backend() != "tpu"
+
+
+class force_interpret:
+    """Context manager: trace pallas_calls in interpret mode regardless of
+    the default backend (tools/backend_ops.py runs the CPU reference leg
+    of each quantized-matmul case this way inside a TPU process; a fresh
+    jax.jit per leg gives each its own trace)."""
+
+    def __enter__(self):
+        _FORCE_INTERPRET[0] = True
+
+    def __exit__(self, *exc):
+        _FORCE_INTERPRET[0] = False
+        return False
 
 
 def _nibbles(q_u8):

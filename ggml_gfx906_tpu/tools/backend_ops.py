@@ -426,8 +426,14 @@ def _nmse(a, b):
 
 
 def mode_test(cases, verbose=False) -> int:
-    """Every case jitted on the default backend vs the CPU backend."""
+    """Every case jitted on the default backend vs the CPU backend.
+
+    The CPU-oracle leg traces under qmm.force_interpret so the Pallas
+    kernels run their interpret variant (compiled Mosaic only exists on
+    TPU); each leg gets its own jax.jit so the traces do not mix."""
     import jax
+
+    from ..ops.pallas import qmm
 
     dev = jax.devices()[0]
     cpu = jax.devices("cpu")[0]
@@ -435,13 +441,13 @@ def mode_test(cases, verbose=False) -> int:
     fails = 0
     for c in cases:
         fn, args = c.build()
-        jfn = jax.jit(fn)
         try:
-            ref = jax.tree.leaves(jfn(*_put(args, cpu)))
+            with qmm.force_interpret():
+                ref = jax.tree.leaves(jax.jit(fn)(*_put(args, cpu)))
             if same:
                 got = ref
             else:
-                got = jax.tree.leaves(jfn(*_put(args, dev)))
+                got = jax.tree.leaves(jax.jit(fn)(*_put(args, dev)))
             err = max((_nmse(r, g) for r, g in zip(ref, got)), default=0.0)
             ok = err <= c.nmse_max
         except Exception as e:  # noqa: BLE001 - report, keep sweeping
