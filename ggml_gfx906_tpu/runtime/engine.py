@@ -242,13 +242,21 @@ class Engine:
         while True:
             work = bool(self.queue or self.pending
                         or any(s is not None for s in self.slots))
-            cur = self._dispatch_window(depth) if work else None
+            cur, aborted = (self._dispatch_window(depth) if work
+                            else (None, None))
             if prev:
                 stacked, snaps = prev
                 self._harvest(np.asarray(stacked), snaps)
             elif self._first_pending:
                 self._harvest(np.zeros((0, self.max_batch), np.int32), [])
             prev = cur
+            if aborted is not None:
+                # cooperative cancel: tokens already dispatched must not be
+                # lost — harvest the partial window, then propagate
+                if prev:
+                    stacked, snaps = prev
+                    self._harvest(np.asarray(stacked), snaps)
+                raise aborted
             if cur is None and not work:
                 break
         out, self.finished = self.finished, []
@@ -395,27 +403,35 @@ class Engine:
 
     def _dispatch_window(self, depth: int):
         """Dispatch up to `depth` chained decode steps (one admission chunk
-        before each); returns (stacked_tokens_device, snapshots) or None.
+        before each); returns ((stacked_tokens_device, snapshots) | None,
+        aborted_exception | None) — an abort mid-window is captured, not
+        raised, so the caller can harvest the already-dispatched steps.
 
-        The window's tokens are stacked and their host copy STARTED here —
-        before the next window's dispatches enter the (in-order) device
-        queue. Enqueueing the stack at harvest time instead made the fetch
-        wait for the *following* window's compute as well (measured 178 ms
-        per 16-step window vs ~40 ms of actual decode). The caller fetches
-        the value only after dispatching the next window (run())."""
+        The window's tokens are stacked here — before the next window's
+        dispatches enter the (in-order) device queue. Enqueueing the stack
+        at harvest time instead made the fetch wait for the *following*
+        window's compute as well (measured 178 ms per 16-step window vs
+        ~40 ms of actual decode). The caller fetches the value only after
+        dispatching the next window (run()).
+
+        NOTE: no copy_to_host_async — on the tunnel runtime it BLOCKS
+        until the value is ready (measured ~90 ms per window, serializing
+        host and device); the harvest-side np.asarray after the next
+        window's dispatch overlaps the wait instead."""
         inflight = []
+        aborted = None
         for _ in range(depth):
-            abort.check()
+            try:
+                abort.check()
+            except abort.Aborted as e:
+                aborted = e
+                break
             self._advance_admission()
             d = self._dispatch()
             if d is None:
                 break
             inflight.append(d)
         if not inflight:
-            return None
+            return None, aborted
         stacked = self._stack([nxt for nxt, _ in inflight])
-        # NOTE: no copy_to_host_async here — on the tunnel runtime it
-        # BLOCKS until the value is ready (measured ~90 ms per window,
-        # serializing host and device); the harvest-side np.asarray after
-        # the next window's dispatch overlaps the wait instead
-        return stacked, [snap for _, snap in inflight]
+        return (stacked, [snap for _, snap in inflight]), aborted
