@@ -77,9 +77,13 @@ def pallas_dma_gbs() -> float:
 
     A trivial grid-tiled copy kernel over 64 MB isolates the mechanism every
     Pallas kernel depends on. On bare-metal TPUs it runs near HBM speed; on
-    tunnel-virtualized runtimes it has measured as low as 0.05 GB/s (each
-    grid step pays a host round-trip), which silently poisons every
-    pallas_call in a program. Measured once per process."""
+    tunnel-virtualized runtimes each grid step carries ~10-35 µs of fixed
+    overhead (measured: this probe ~175 GB/s, a decode-shaped fused qmm
+    8 GB/s of weights, vs 720-813 GB/s for XLA fusions), which silently
+    poisons every pallas_call in a program. Measured once per process.
+
+    Block = 2 MB: in+out double-buffered must fit the 16 MB scoped-VMEM
+    limit (bm=512 OOMed at compile time and the probe read 0 GB/s)."""
     import time
 
     import jax
@@ -91,7 +95,7 @@ def pallas_dma_gbs() -> float:
     def copy_kernel(x_ref, o_ref):
         o_ref[...] = x_ref[...]
 
-    m, n, bm = 4096, 4096, 512
+    m, n, bm = 4096, 4096, 128
 
     @jax.jit
     def run(x):
