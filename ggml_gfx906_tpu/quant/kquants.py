@@ -48,10 +48,14 @@ def _rows(x: np.ndarray) -> np.ndarray:
 
 # ------------------------------------------------------------------ helpers
 
-def make_qx_quants(x: np.ndarray, nmax: int) -> tuple[np.ndarray, np.ndarray]:
-    """Weighted (w = x^2) scale search, rmse_type=1.
+def make_qx_quants(
+    x: np.ndarray, nmax: int, weights: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Weighted scale search, rmse_type=1 (w = weights, or x^2 when None).
 
-    x: (R, n) f32. Returns (scale (R,), L (R, n) int32 in [0, 2*nmax-1]).
+    x: (R, n) f32; weights: optional (R, n) f32 (the imatrix-derived qw of
+    the reference's `const float * qw` argument).
+    Returns (scale (R,), L (R, n) int32 in [0, 2*nmax-1]).
     ref: make_qx_quants src/ggml-quants.c:451-518.
     """
     R, n = x.shape
@@ -62,7 +66,7 @@ def make_qx_quants(x: np.ndarray, nmax: int) -> tuple[np.ndarray, np.ndarray]:
         iscale = F32(-nmax) / mx
         l = np.clip(nearest_int(iscale[:, None] * x), -nmax, nmax - 1)
         lf = l.astype(np.float32)
-        w = x * x
+        w = (x * x) if weights is None else weights
         sumlx = seq_sum(w * x * lf)
         suml2 = seq_sum(w * lf * lf)
         scale = np.where(suml2 != 0, sumlx / suml2, F32(0))
@@ -194,6 +198,67 @@ def make_qkx2_quants(
     the_min = -mn
     the_min = np.where(dead, -np.minimum(x.min(-1), F32(0)), the_min)
     return scale.astype(np.float32), the_min.astype(np.float32), L
+
+
+def make_qp_quants(
+    x: np.ndarray, weight: np.ndarray, nmax: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Weighted non-negative scale fit: candidate sweep + up-to-5 greedy
+    coordinate-descent sweeps. Row-vectorized version of the per-vector
+    helper the reference uses for super-block scale/min codes.
+
+    x, weight: (R, n) f32, x >= 0. Returns (scale (R,), L (R, n) int32 in
+    [0, nmax]). ref: make_qp_quants src/ggml-quants.c:899-970.
+    """
+    R, n = x.shape
+    maxv = x.max(-1)
+    dead = maxv < GROUP_MAX_EPS
+    with np.errstate(**_ERR):
+        safe_max = np.where(dead, F32(1), maxv)
+        iscale = F32(nmax) / safe_max
+        l0 = nearest_int(iscale[:, None] * x)  # unclamped in the reference
+        diff = x - ((1 / iscale)[:, None] * l0.astype(np.float32))
+        best_mse = seq_sum(weight * diff * diff)
+        for is_ in range(-4, 5):
+            if is_ == 0:
+                continue
+            isc = (F32(0.1) * F32(is_) + F32(nmax)) / safe_max
+            l = np.minimum(nearest_int(isc[:, None] * x), nmax)
+            diff = x - ((1 / isc)[:, None] * l.astype(np.float32))
+            mse = seq_sum(weight * diff * diff)
+            upd = mse < best_mse
+            best_mse = np.where(upd, mse, best_mse)
+            iscale = np.where(upd, isc, iscale)
+        L = np.minimum(nearest_int(iscale[:, None] * x), nmax)
+        Lf = L.astype(np.float32)
+        sumlx = seq_sum(weight * x * Lf)
+        suml2 = seq_sum(weight * Lf * Lf)
+        # greedy refinement: sequential over elements (running sums carry
+        # within-sweep updates, as in the reference); a row whose sweep
+        # changes nothing is a fixed point, so running all 5 sweeps
+        # unconditionally matches the early-break semantics.
+        for _ in range(5):
+            for i in range(n):
+                w, xi = weight[:, i], x[:, i]
+                li = L[:, i].astype(np.float32)
+                slx = sumlx - w * xi * li
+                sl2 = suml2 - w * li * li
+                new_l = np.minimum(
+                    nearest_int(xi * sl2 / np.where(slx > 0, slx, 1)), nmax)
+                nf = new_l.astype(np.float32)
+                cand_slx = slx + w * xi * nf
+                cand_sl2 = sl2 + w * nf * nf
+                ok = (
+                    (slx > 0) & (sl2 > 0) & (new_l != L[:, i])
+                    & (cand_slx * cand_slx * suml2 > sumlx * sumlx * cand_sl2)
+                )
+                L[:, i] = np.where(ok, new_l, L[:, i])
+                sumlx = np.where(ok, cand_slx, sumlx)
+                suml2 = np.where(ok, cand_sl2, suml2)
+        scale = np.where(suml2 > 0, sumlx / np.where(suml2 > 0, suml2, 1), F32(0))
+    L[dead] = 0
+    scale = np.where(dead, F32(0), scale)
+    return scale.astype(np.float32), L
 
 
 def pack_scale_min_k4(ls: np.ndarray, lm: np.ndarray) -> np.ndarray:
@@ -342,10 +407,15 @@ def dequantize_q5_K(blocks: np.ndarray) -> np.ndarray:
 
 def quantize_q6_K(x: np.ndarray) -> np.ndarray:
     """ref: quantize_row_q6_K_ref src/ggml-quants.c:1692-1760."""
-    xr = _rows(x)
+    return _quantize_q6_K_rows(x, _rows(x), None)
+
+
+def _quantize_q6_K_rows(x, xr, weights16) -> np.ndarray:
+    """Shared core: weights16 is None (unweighted ref path) or the raw
+    importance row per 16-group ((R*16, 16), imatrix path :1793-1878)."""
     nb = xr.shape[0]
     sb = xr.reshape(nb * 16, 16)
-    scales, L = make_qx_quants(sb, 32)
+    scales, L = make_qx_quants(sb, 32, weights16)
     scales = scales.reshape(nb, 16)
     L = L.reshape(nb, 256)
 
@@ -536,3 +606,169 @@ def dequantize_q8_K(blocks: np.ndarray) -> np.ndarray:
     """ref: dequantize_row_q8_K src/ggml-quants.c:2594-2603."""
     b = {k: np.ascontiguousarray(blocks[k]) for k in blocks.dtype.names}
     return dqm.dequant_q8_K(np, b["d"], b["qs"])
+
+
+# ------------------------------------------------------- imatrix variants
+#
+# The reference's chunk quantizers take an optional importance row
+# (`quantize_q2_K(src, dst, nrow, n_per_row, quant_weights)`,
+# include/ggml.h:2406-2416): per-column activation statistics collected by
+# the imatrix tool. With weights present, every type switches to a
+# different, weighted scale search (quantize_row_q*_K_impl,
+# src/ggml-quants.c:972-1890). These are row-vectorized ports with the same
+# sequential-f32 accumulation semantics, bit-exact vs the compiled C
+# reference (tests/test_imatrix_oracle.py).
+
+def _qw_superblocks(x: np.ndarray, quant_weights: np.ndarray):
+    """Align a per-row importance vector with superblock rows.
+
+    x: (..., n) with n % QK_K == 0; quant_weights: (n,). Returns
+    (xr (R, QK_K), qwr (R, QK_K)) where every tensor row reuses the same
+    importance row, as in the reference chunk API."""
+    xr = _rows(x)
+    qw = np.ascontiguousarray(quant_weights, dtype=np.float32).reshape(-1)
+    n = np.asarray(x).shape[-1]
+    assert qw.size == n, (qw.shape, n)
+    n_rows = xr.shape[0] * QK_K // n
+    qwr = np.tile(qw.reshape(-1, QK_K), (n_rows, 1))
+    return xr, qwr
+
+
+def _sigma_weights(xr, qwr, sigma2, sub):
+    """weight[l] = qw[l] * sqrtf(sigma2 + x[l]^2) per `sub`-wide group.
+
+    Returns (weights (R*QK_K/sub, sub), sw (R, QK_K/sub) group sums)."""
+    nb = xr.shape[0]
+    g = QK_K // sub
+    sb = xr.reshape(nb * g, sub)
+    qsb = qwr.reshape(nb * g, sub)
+    weights = (qsb * np.sqrt(np.repeat(sigma2, g)[:, None] + sb * sb)
+               ).astype(np.float32)
+    sw = seq_sum(weights).reshape(nb, g)
+    return sb, weights, sw
+
+
+def quantize_q2_K_imatrix(x: np.ndarray, quant_weights: np.ndarray) -> np.ndarray:
+    """ref: quantize_row_q2_K_impl src/ggml-quants.c:972-1032."""
+    xr, qwr = _qw_superblocks(x, quant_weights)
+    nb = xr.shape[0]
+    sigma2 = seq_sum(xr * xr) / F32(QK_K)
+    sb, weights, sw = _sigma_weights(xr, qwr, sigma2, 16)
+    scales, mins, L = make_qkx2_quants(sb, weights, 3, -0.9, 0.05, 36, False)
+    scales = scales.reshape(nb, 16)
+    mins = mins.reshape(nb, 16)
+    L = L.reshape(nb, 256)
+
+    dm, Ls = make_qp_quants(scales, sw, 15)
+    mm, Lm = make_qp_quants(mins, sw, 15)
+    out = np.zeros(nb, dtype=BLOCK_Q2_K)
+    out["d"] = fp32_to_fp16(dm)
+    out["dmin"] = fp32_to_fp16(mm)
+    out["scales"] = (Ls | (Lm << 4)).astype(np.uint8)
+
+    d_dec = fp16_to_fp32(out["d"])[:, None] * (out["scales"] & 0xF).astype(np.float32)
+    dm_dec = fp16_to_fp32(out["dmin"])[:, None] * (out["scales"] >> 4).astype(np.float32)
+    L = _requant_affine(xr, d_dec, dm_dec, L, 3, 16)
+
+    Lg = L.reshape(nb, 2, 4, 32).astype(np.uint8)
+    qs = Lg[:, :, 0, :] | (Lg[:, :, 1, :] << 2) | (Lg[:, :, 2, :] << 4) | (Lg[:, :, 3, :] << 6)
+    out["qs"] = qs.reshape(nb, 64)
+    return out.reshape(np.asarray(x).shape[:-1] + (np.asarray(x).shape[-1] // QK_K,))
+
+
+def quantize_q3_K_imatrix(x: np.ndarray, quant_weights: np.ndarray) -> np.ndarray:
+    """ref: quantize_row_q3_K_impl src/ggml-quants.c:1178-1260."""
+    xr, qwr = _qw_superblocks(x, quant_weights)
+    nb = xr.shape[0]
+    sigma2 = F32(2) * seq_sum(xr * xr) / F32(QK_K)
+    sb, weights, sw = _sigma_weights(xr, qwr, sigma2, 16)
+    scales, L = make_qx_quants(sb, 4, weights)  # L in [0, 7]
+    scales = scales.reshape(nb, 16)
+    L = L.reshape(nb, 256)
+
+    d_block, Ls = make_qx_quants(scales, 32, sw)  # Ls in [0, 63]
+    packed = np.zeros((nb, 12), dtype=np.uint8)
+    for j in range(16):
+        lv = Ls[:, j].astype(np.uint8)
+        if j < 8:
+            packed[:, j] |= lv & 0xF
+        else:
+            packed[:, j - 8] |= (lv & 0xF) << 4
+        packed[:, 8 + j % 4] |= (lv >> 4) << (2 * (j // 4))
+    d16 = fp32_to_fp16(d_block)
+
+    sc_dec = _unpack_q3_scales(packed).astype(np.float32)
+    d_dec = fp16_to_fp32(d16)[:, None] * sc_dec
+    xs = xr.reshape(nb, 16, 16)
+    with np.errstate(**_ERR):
+        l = np.clip(nearest_int(xs / np.where(d_dec, d_dec, 1)[..., None]), -4, 3) + 4
+    keep = (d_dec == 0)[..., None]
+    L = np.where(keep, L.reshape(nb, 16, 16), l).reshape(nb, 256)
+
+    out = np.zeros(nb, dtype=BLOCK_Q3_K)
+    out["d"] = d16
+    out["scales"] = packed
+    high = (L > 3).astype(np.uint8)
+    Lo = (L - 4 * high).astype(np.uint8)
+    hm = high.reshape(nb, 8, 32)
+    bits = np.arange(8, dtype=np.uint8)[None, :, None]
+    out["hmask"] = (hm << bits).sum(axis=1, dtype=np.uint8).reshape(nb, 32)
+    Lg = Lo.reshape(nb, 2, 4, 32)
+    qs = Lg[:, :, 0, :] | (Lg[:, :, 1, :] << 2) | (Lg[:, :, 2, :] << 4) | (Lg[:, :, 3, :] << 6)
+    out["qs"] = qs.reshape(nb, 64)
+    return out.reshape(np.asarray(x).shape[:-1] + (np.asarray(x).shape[-1] // QK_K,))
+
+
+def _quantize_q45_K_imatrix(x, quant_weights, nmax, block_dtype):
+    """Shared q4_K/q5_K imatrix path (they differ only in nmax + packing).
+    ref: quantize_row_q4_K_impl :1376-1448, quantize_row_q5_K_impl :1580-1672."""
+    xr, qwr = _qw_superblocks(x, quant_weights)
+    nb = xr.shape[0]
+    sigma2 = F32(2) * seq_sum(xr * xr) / F32(QK_K)
+    sb, weights, sw = _sigma_weights(xr, qwr, sigma2, 32)
+    scales, mins, L = make_qkx2_quants(sb, weights, nmax, -0.9, 0.05, 36, False)
+    scales = scales.reshape(nb, 8)
+    mins = mins.reshape(nb, 8)
+    L = L.reshape(nb, 256)
+
+    d_block, Ls = make_qp_quants(scales, sw, 63)
+    m_block, Lm = make_qp_quants(mins, sw, 63)
+    out = np.zeros(nb, dtype=block_dtype)
+    out["scales"] = pack_scale_min_k4(Ls.astype(np.uint8), Lm.astype(np.uint8))
+    out["d"] = fp32_to_fp16(d_block)
+    out["dmin"] = fp32_to_fp16(m_block)
+
+    sc, m = unpack_scale_min_k4(out["scales"])
+    d_dec = fp16_to_fp32(out["d"])[:, None] * sc.astype(np.float32)
+    dm_dec = fp16_to_fp32(out["dmin"])[:, None] * m.astype(np.float32)
+    L = _requant_affine(xr, d_dec, dm_dec, L, nmax, 32)
+    return out, L, nb
+
+
+def quantize_q4_K_imatrix(x: np.ndarray, quant_weights: np.ndarray) -> np.ndarray:
+    out, L, nb = _quantize_q45_K_imatrix(x, quant_weights, 15, BLOCK_Q4_K)
+    Lq = L.reshape(nb, 4, 2, 32).astype(np.uint8)
+    out["qs"] = (Lq[:, :, 0, :] | (Lq[:, :, 1, :] << 4)).reshape(nb, 128)
+    return out.reshape(np.asarray(x).shape[:-1] + (np.asarray(x).shape[-1] // QK_K,))
+
+
+def quantize_q5_K_imatrix(x: np.ndarray, quant_weights: np.ndarray) -> np.ndarray:
+    out, L, nb = _quantize_q45_K_imatrix(x, quant_weights, 31, BLOCK_Q5_K)
+    Lg = L.reshape(nb, 4, 2, 32)
+    hi = (Lg > 15).astype(np.uint8)
+    lo = (Lg - 16 * hi).astype(np.uint8)
+    qh = np.zeros((nb, 32), dtype=np.uint8)
+    for g in range(4):
+        qh |= hi[:, g, 0, :] << (2 * g)
+        qh |= hi[:, g, 1, :] << (2 * g + 1)
+    out["qh"] = qh
+    out["qs"] = (lo[:, :, 0, :] | (lo[:, :, 1, :] << 4)).reshape(nb, 128)
+    return out.reshape(np.asarray(x).shape[:-1] + (np.asarray(x).shape[-1] // QK_K,))
+
+
+def quantize_q6_K_imatrix(x: np.ndarray, quant_weights: np.ndarray) -> np.ndarray:
+    """ref: quantize_row_q6_K_impl src/ggml-quants.c:1793-1878 — identical
+    to the unweighted path except make_qx_quants gets the raw importance
+    row as weights (the sigma2 scaling is commented out upstream)."""
+    xr, qwr = _qw_superblocks(x, quant_weights)
+    return _quantize_q6_K_rows(x, xr, qwr.reshape(-1, 16))

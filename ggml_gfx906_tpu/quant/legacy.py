@@ -199,3 +199,88 @@ def quantize_q8_1(x: np.ndarray) -> np.ndarray:
 
 def dequantize_q8_1(blocks: np.ndarray) -> np.ndarray:
     return dq.dequant_q8_1(np, blocks["d"], blocks["qs"])
+
+
+# ------------------------------------------------------- imatrix variants
+#
+# The reference's chunk quantizers accept an importance row
+# (quantize_q4_0(src, dst, nrow, n_per_row, quant_weights),
+# src/ggml-quants.c:1893-2089): the block-32 types switch to the weighted
+# scale searches make_qx_quants / make_qkx3_quants with
+# weight[j] = qw[j] * sqrtf(sigma2 + x[j]^2), sigma2 taken over the WHOLE
+# row (not per block). Row-vectorized, bit-exact vs the compiled C
+# reference (tests/test_imatrix_oracle.py). Q8_0 ignores the weights
+# upstream (src/ggml-quants.c:2091-2096), so it has no variant here.
+
+def _imatrix_blocks(x: np.ndarray, quant_weights: np.ndarray, qk: int):
+    """(xb (R*nb, qk) blocks, weight (R*nb, qk)) with per-ROW sigma2."""
+    from .numerics import seq_sum
+
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    n = x.shape[-1]
+    qw = np.ascontiguousarray(quant_weights, dtype=np.float32).reshape(-1)
+    assert qw.size == n and n % qk == 0, (qw.shape, x.shape)
+    rows = x.reshape(-1, n)
+    sigma2 = seq_sum(rows * rows) / F32(n)  # per row, over n_per_row
+    nb = n // qk
+    xb = rows.reshape(-1, qk)
+    qb = np.tile(qw.reshape(nb, qk), (rows.shape[0], 1))
+    weight = (qb * np.sqrt(np.repeat(sigma2, nb)[:, None] + xb * xb)
+              ).astype(np.float32)
+    return xb, weight
+
+
+def quantize_q4_0_imatrix(x: np.ndarray, quant_weights: np.ndarray) -> np.ndarray:
+    """ref: quantize_row_q4_0_impl src/ggml-quants.c:1893-1918."""
+    from .kquants import make_qx_quants
+
+    xb, weight = _imatrix_blocks(x, quant_weights, QK4_0)
+    d, L = make_qx_quants(xb, 8, weight)  # L in [0, 15]
+    out = np.empty(xb.shape[0], dtype=BLOCK_Q4_0)
+    out["d"] = fp32_to_fp16(d)
+    Lu = L.astype(np.uint8)
+    out["qs"] = Lu[:, :16] | (Lu[:, 16:] << 4)
+    return out.reshape(np.asarray(x).shape[:-1] + (np.asarray(x).shape[-1] // QK4_0,))
+
+
+def quantize_q4_1_imatrix(x: np.ndarray, quant_weights: np.ndarray) -> np.ndarray:
+    """ref: quantize_row_q4_1_impl src/ggml-quants.c:1935-1964."""
+    from .kquants import make_qkx2_quants
+
+    xb, weight = _imatrix_blocks(x, quant_weights, QK4_0)
+    d, the_min, L = make_qkx2_quants(xb, weight, 15, -0.9, 0.05, 36, False)
+    out = np.empty(xb.shape[0], dtype=BLOCK_Q4_1)
+    out["d"] = fp32_to_fp16(d)
+    out["m"] = fp32_to_fp16(-the_min)
+    Lu = L.astype(np.uint8)
+    out["qs"] = Lu[:, :16] | (Lu[:, 16:] << 4)
+    return out.reshape(np.asarray(x).shape[:-1] + (np.asarray(x).shape[-1] // QK4_0,))
+
+
+def quantize_q5_0_imatrix(x: np.ndarray, quant_weights: np.ndarray) -> np.ndarray:
+    """ref: quantize_row_q5_0_impl src/ggml-quants.c:1982-2021."""
+    from .kquants import make_qx_quants
+
+    xb, weight = _imatrix_blocks(x, quant_weights, QK5_0)
+    d, L = make_qx_quants(xb, 16, weight)  # L in [0, 31]
+    out = np.empty(xb.shape[0], dtype=BLOCK_Q5_0)
+    out["d"] = fp32_to_fp16(d)
+    Lu = L.astype(np.uint8)
+    out["qs"] = (Lu[:, :16] & 0x0F) | ((Lu[:, 16:] & 0x0F) << 4)
+    out["qh"] = _pack_qh(Lu)
+    return out.reshape(np.asarray(x).shape[:-1] + (np.asarray(x).shape[-1] // QK5_0,))
+
+
+def quantize_q5_1_imatrix(x: np.ndarray, quant_weights: np.ndarray) -> np.ndarray:
+    """ref: quantize_row_q5_1_impl src/ggml-quants.c:2036-2073."""
+    from .kquants import make_qkx2_quants
+
+    xb, weight = _imatrix_blocks(x, quant_weights, QK5_0)
+    d, the_min, L = make_qkx2_quants(xb, weight, 31, -0.9, 0.05, 36, False)
+    out = np.empty(xb.shape[0], dtype=BLOCK_Q5_1)
+    out["d"] = fp32_to_fp16(d)
+    out["m"] = fp32_to_fp16(-the_min)
+    Lu = L.astype(np.uint8)
+    out["qs"] = (Lu[:, :16] & 0x0F) | ((Lu[:, 16:] & 0x0F) << 4)
+    out["qh"] = _pack_qh(Lu)
+    return out.reshape(np.asarray(x).shape[:-1] + (np.asarray(x).shape[-1] // QK5_0,))

@@ -13,6 +13,15 @@ from .types import GGMLType, TYPE_TRAITS, row_size
 # codecs accepting an importance matrix (ggml quantize_* chunk API,
 # include/ggml.h:2406-2416 ggml_quantize_chunk(..., imatrix))
 _QUANTIZE_IMATRIX = {
+    GGMLType.Q4_0: legacy.quantize_q4_0_imatrix,
+    GGMLType.Q4_1: legacy.quantize_q4_1_imatrix,
+    GGMLType.Q5_0: legacy.quantize_q5_0_imatrix,
+    GGMLType.Q5_1: legacy.quantize_q5_1_imatrix,
+    GGMLType.Q2_K: kquants.quantize_q2_K_imatrix,
+    GGMLType.Q3_K: kquants.quantize_q3_K_imatrix,
+    GGMLType.Q4_K: kquants.quantize_q4_K_imatrix,
+    GGMLType.Q5_K: kquants.quantize_q5_K_imatrix,
+    GGMLType.Q6_K: kquants.quantize_q6_K_imatrix,
     GGMLType.IQ4_NL: modern.quantize_iq4_nl,
     GGMLType.IQ4_XS: modern.quantize_iq4_xs,
     GGMLType.IQ3_XXS: iquants.quantize_iq3_xxs,
@@ -22,6 +31,14 @@ _QUANTIZE_IMATRIX = {
     GGMLType.IQ2_S: iquants.quantize_iq2_s,
     GGMLType.IQ1_S: iquants.quantize_iq1_s,
     GGMLType.IQ1_M: iquants.quantize_iq1_m,
+}
+
+# types whose reference chunk API accepts but IGNORES the imatrix
+# (quantize_q8_0 src/ggml-quants.c:2091, quantize_mxfp4 :2098,
+# quantize_tq1_0/tq2_0 :2710-2730)
+_IMATRIX_IGNORED = {
+    GGMLType.Q8_0, GGMLType.Q8_1, GGMLType.MXFP4,
+    GGMLType.TQ1_0, GGMLType.TQ2_0,
 }
 
 _QUANTIZE = {
@@ -87,9 +104,11 @@ def quantize(t: GGMLType, x: np.ndarray, quant_weights=None) -> np.ndarray:
     (n,) or matching x — only for types in _QUANTIZE_IMATRIX."""
     x = np.asarray(x, dtype=np.float32)
     if quant_weights is not None:
-        if t not in _QUANTIZE_IMATRIX:
-            raise NotImplementedError(f"{t.name} has no imatrix-aware path")
-        return _QUANTIZE_IMATRIX[t](x, np.asarray(quant_weights, np.float32))
+        if t in _QUANTIZE_IMATRIX:
+            return _QUANTIZE_IMATRIX[t](x, np.asarray(quant_weights, np.float32))
+        if t in _IMATRIX_IGNORED:
+            return _QUANTIZE[t](x)
+        raise NotImplementedError(f"{t.name} has no imatrix-aware path")
     return _QUANTIZE[t](x)
 
 
