@@ -26,3 +26,19 @@ def test_mode_support_prints():
 
 def test_filter_rejects_unknown():
     assert backend_ops.main(["test", "--op", "no_such_op_xyz"]) == 2
+
+
+def test_simple_example_runs():
+    """examples/simple.py (the reference's examples/simple analogue) must
+    run end-to-end and self-check its two styles."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).parent.parent
+    res = subprocess.run(
+        [sys.executable, str(root / "examples" / "simple.py")],
+        capture_output=True, text=True, timeout=300,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"})
+    assert res.returncode == 0, res.stderr[-500:]
+    assert "style backend" in res.stdout
