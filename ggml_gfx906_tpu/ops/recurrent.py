@@ -90,7 +90,12 @@ def mul_mat_id(experts, x, ids, capacity: int | None = None):
     default capacity = T·n_used the result is exact for any routing; a
     smaller capacity (e.g. 2·T·n_used/E) trades the balanced-routing
     assumption for proportional compute, zeroing overflowing tokens —
-    standard TPU serving practice."""
+    standard TPU serving practice.
+
+    ids outside [0, n_expert) mark pre-dropped tokens (output zero, no
+    queue slot consumed) — the expert-parallel dispatch (parallel/ep.py)
+    uses this to exclude tokens routed to other devices' experts without
+    perturbing local queue positions."""
     from .quantized import QuantTensor, qmatmul
 
     T, U, K = x.shape
@@ -98,12 +103,14 @@ def mul_mat_id(experts, x, ids, capacity: int | None = None):
     C = T * U if capacity is None else min(capacity, T * U)
     xf = x.reshape(T * U, K)
     idf = ids.reshape(T * U)
+    idc = jnp.clip(idf, 0, E - 1).astype(jnp.int32)
     onehot = idf[:, None] == jnp.arange(E, dtype=idf.dtype)[None, :]
-    # position of each token within its expert's queue
+    # position of each token within its expert's queue (out-of-range ids
+    # have an all-false onehot row, so they never advance any queue)
     pos = jnp.take_along_axis(jnp.cumsum(onehot, axis=0) - 1,
-                              idf[:, None].astype(jnp.int32), axis=1)[:, 0]
-    keep = pos < C
-    slot = jnp.where(keep, idf * C + pos, E * C)       # drops → scratch row
+                              idc[:, None], axis=1)[:, 0]
+    keep = (pos < C) & (idf >= 0) & (idf < E)
+    slot = jnp.where(keep, idc * C + pos, E * C)       # drops → scratch row
     buf = jnp.zeros((E * C + 1, K), jnp.float32)
     buf = buf.at[slot].set(xf.astype(jnp.float32))
     buf = buf[:E * C].reshape(E, C, K)
@@ -120,7 +127,7 @@ def mul_mat_id(experts, x, ids, capacity: int | None = None):
             (((2,), (2,)), ((0,), (0,))), precision=prec)  # (E, C, N)
     n = y.shape[-1]
     yf = y.reshape(E * C, n)
-    out = yf[jnp.where(keep, idf * C + pos, 0)]
+    out = yf[jnp.where(keep, idc * C + pos, 0)]
     out = jnp.where(keep[:, None], out, 0.0)
     return out.reshape(T, U, n).astype(x.dtype)
 

@@ -1,0 +1,67 @@
+"""Sequence parallelism (ring attention over an 'sp' mesh axis) — parity
+vs the single-device causal attention reference (ops.attention_ref).
+
+The reference has no sequence parallelism (SURVEY §5); this validates the
+TPU-native extension: K/V chunks rotating over the ring via ppermute with
+online-softmax merging, numerics identical to full causal attention."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ggml_gfx906_tpu.ops.attention import attention_ref
+from ggml_gfx906_tpu.parallel.mesh import make_mesh
+from ggml_gfx906_tpu.parallel.sp import ring_self_attention
+
+
+def _causal_ref(q, k, v, scale=None, softcap=0.0):
+    S = q.shape[2]
+    i = np.arange(S)
+    mask = jnp.asarray(np.where(i[None, :] <= i[:, None], 0.0, -np.inf),
+                       jnp.float32)[None, None]
+    return np.asarray(attention_ref(q, k, v, mask, scale,
+                                    logit_softcap=softcap))
+
+
+def _mk(rng, B, H, KVH, S, D):
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, KVH, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, KVH, S, D)), jnp.float32)
+    return q, k, v
+
+
+@pytest.mark.parametrize("sp,dp", [(2, 1), (4, 1), (8, 1), (4, 2)])
+def test_ring_matches_causal_ref(sp, dp):
+    rng = np.random.default_rng(sp * 10 + dp)
+    B, H, S, D = 2 * dp, 4, 8 * sp, 16
+    q, k, v = _mk(rng, B, H, H, S, D)
+    mesh = make_mesh(dp=dp, tp=1, sp=sp)
+    got = np.asarray(ring_self_attention(mesh, q, k, v))
+    ref = _causal_ref(q, k, v)
+    nmse = ((got - ref) ** 2).sum() / (ref ** 2).sum()
+    assert nmse < 1e-10, nmse
+
+
+def test_ring_gqa_and_softcap():
+    rng = np.random.default_rng(0)
+    B, H, KVH, S, D = 2, 8, 2, 32, 16
+    q, k, v = _mk(rng, B, H, KVH, S, D)
+    mesh = make_mesh(dp=1, tp=1, sp=4)
+    got = np.asarray(ring_self_attention(mesh, q, k, v, scale=0.17,
+                                         logit_softcap=30.0))
+    ref = _causal_ref(q, k, v, scale=0.17, softcap=30.0)
+    nmse = ((got - ref) ** 2).sum() / (ref ** 2).sum()
+    assert nmse < 1e-10, nmse
+
+
+def test_ring_bf16_io():
+    rng = np.random.default_rng(3)
+    B, H, S, D = 1, 2, 16, 8
+    q, k, v = _mk(rng, B, H, H, S, D)
+    mesh = make_mesh(dp=1, tp=1, sp=2)
+    got = ring_self_attention(mesh, q.astype(jnp.bfloat16),
+                              k.astype(jnp.bfloat16),
+                              v.astype(jnp.bfloat16))
+    assert got.dtype == jnp.bfloat16
+    ref = _causal_ref(q, k, v)
+    nmse = ((np.asarray(got, np.float32) - ref) ** 2).sum() / (ref ** 2).sum()
+    assert nmse < 1e-3, nmse
