@@ -228,6 +228,59 @@ def forward_train(cfg: GPT2Config, params: dict, tokens: jax.Array) -> jax.Array
     return qmatmul(x, head).astype(jnp.float32)
 
 
+_GGUF_NAMES = [
+    ("ln1_g", "attn_norm.weight"), ("ln1_b", "attn_norm.bias"),
+    ("qkv_w", "attn_qkv.weight"), ("qkv_b", "attn_qkv.bias"),
+    ("proj_w", "attn_output.weight"), ("proj_b", "attn_output.bias"),
+    ("ln2_g", "ffn_norm.weight"), ("ln2_b", "ffn_norm.bias"),
+    ("up_w", "ffn_up.weight"), ("up_b", "ffn_up.bias"),
+    ("down_w", "ffn_down.weight"), ("down_b", "ffn_down.bias"),
+]
+
+
+def save_gguf(cfg: GPT2Config, params: dict, path, qtype: GGMLType | None = None):
+    """Write a dense-float gpt2 params pytree to GGUF (inverse of `load`).
+
+    With `qtype`, every 2-D weight whose row length divides the block size
+    is quantized at write time; 1-D tensors stay f32, mirroring the
+    reference quantize tool (examples/common-ggml.cpp:41 skips non-2D).
+    The file is readable both by our GGUFReader and by the reference C
+    reader (src/gguf.cpp:319) — enforced by tests/test_reference_runtime.py.
+    """
+    from ..gguf import GGUFValueType, GGUFWriter
+
+    w = GGUFWriter()
+    w.set("general.architecture", ARCH)
+    for key, val in [
+        ("vocab_size", cfg.n_vocab), ("context_length", cfg.n_ctx),
+        ("embedding_length", cfg.n_embd), ("attention.head_count", cfg.n_head),
+        ("block_count", cfg.n_layer),
+    ]:
+        w.set(f"{ARCH}.{key}", int(val), GGUFValueType.UINT32)
+    w.set(f"{ARCH}.attention.layer_norm_epsilon", float(cfg.ln_eps),
+          GGUFValueType.FLOAT32)
+
+    def put(name, a):
+        a = np.asarray(a, np.float32)
+        tt = qtype
+        if (tt is not None and a.ndim == 2
+                and a.shape[1] % TYPE_TRAITS[tt].blck_size == 0):
+            w.add_array_tensor(name, a, tt)
+        else:
+            w.add_array_tensor(name, a)
+
+    put("token_embd.weight", params["wte"])
+    put("position_embd.weight", params["wpe"])
+    put("output_norm.weight", params["ln_f_g"])
+    put("output_norm.bias", params["ln_f_b"])
+    if "lm_head" in params:
+        put("output.weight", params["lm_head"])
+    for i, blk in enumerate(params["blocks"]):
+        for short, gname in _GGUF_NAMES:
+            put(f"blk.{i}.{gname}", blk[short])
+    w.write(path)
+
+
 def random_params(cfg: GPT2Config, seed: int = 0, qtype: GGMLType | None = None,
                   dtype=jnp.float32) -> dict:
     """Deterministic random param pytree (for tests/benchmarks; offline we
