@@ -44,7 +44,9 @@ def _add(w: GGUFWriter, name: str, arr: np.ndarray, ftype: GGMLType):
 
 def convert_llama(state_dict: dict, config, path,
                   ftype: GGMLType = GGMLType.F32,
-                  tokens: list[str] | None = None):
+                  tokens: list[str] | None = None,
+                  scores: list[float] | None = None,
+                  token_types: list[int] | None = None):
     """HF LlamaForCausalLM state_dict → llama GGUF.
 
     No q/k permutation: HF's rotate_half rotary equals ggml's NEOX mode
@@ -68,6 +70,13 @@ def convert_llama(state_dict: dict, config, path,
     if tokens is not None:
         w.set("tokenizer.ggml.model", "llama")
         w.set("tokenizer.ggml.tokens", tokens)
+        if scores is not None:
+            w.set("tokenizer.ggml.scores", [float(s) for s in scores])
+        if token_types is not None:
+            w.set("tokenizer.ggml.token_type", [int(x) for x in token_types])
+        w.set("tokenizer.ggml.bos_token_id", 1)
+        w.set("tokenizer.ggml.eos_token_id", 2)
+        w.set("tokenizer.ggml.unknown_token_id", 0)
 
     _add(w, "token_embd.weight", t("model.embed_tokens.weight"), ftype)
     _add(w, "output_norm.weight", t("model.norm.weight"), ftype)
