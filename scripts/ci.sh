@@ -8,8 +8,14 @@ cd "$(dirname "$0")/.."
 echo "== native transport build =="
 make -C cpp
 
-echo "== conformance suite (CPU, 8 virtual devices) =="
-python -m pytest tests/ -x -q
+echo "== conformance suite (CPU, 8 virtual devices, 4-way parallel) =="
+# FAST=1 skips @pytest.mark.slow (heavy fixtures); default runs everything.
+# xdist workers share the cached reference-library/oracle builds in build/.
+if [ "${FAST:-0}" = "1" ]; then
+    python -m pytest tests/ -q -n 4 -m "not slow" --maxfail=1
+else
+    python -m pytest tests/ -q -n 4 --maxfail=1
+fi
 
 echo "== entry + multi-chip dryrun (8-device virtual mesh) =="
 python - <<'EOF'

@@ -60,19 +60,10 @@ N = 256 * 16  # 16 superblocks per signal
 
 @pytest.fixture(scope="session")
 def qref(tmp_path_factory):
-    cc = shutil.which("gcc") or shutil.which("cc")
-    src = REF / "src" / "ggml-quants.c"
-    if cc is None or not src.exists():
+    from _oracle_build import cached_oracle_so
+    so = cached_oracle_so("qref", _STUBS)
+    if so is None:
         pytest.skip("no C compiler or reference tree — oracle unavailable")
-    d = tmp_path_factory.mktemp("qref")
-    (d / "stubs.c").write_text(_STUBS)
-    so = d / "qref.so"
-    res = subprocess.run(
-        [cc, "-shared", "-fPIC", "-O2", f"-I{REF}/include", f"-I{REF}/src",
-         str(src), str(d / "stubs.c"), "-o", str(so), "-lm"],
-        capture_output=True, text=True)
-    if res.returncode != 0:
-        pytest.skip(f"oracle build failed: {res.stderr[-400:]}")
     return ctypes.CDLL(str(so))
 
 

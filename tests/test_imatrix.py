@@ -26,6 +26,7 @@ def gguf_f32(tmp_path_factory):
     return path
 
 
+@pytest.mark.slow
 def test_collect_and_quantize_iq2xxs(gguf_f32, tmp_path):
     cfg, params = llama.load(gguf_f32)
     rng = np.random.default_rng(0)
