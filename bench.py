@@ -83,14 +83,16 @@ def build_llama7b_params(cfg, int8_layout=True):
 
 
 def quality_proxy():
-    """Perplexity-delta proxy without a real checkpoint: fixed-seed logits
-    NMSE of the fused-Q4_K model vs the same f32 weights dense (BASELINE.md
-    north star asks for 'ppl Δ vs FP16 within ggml's bounds'; with synthetic
-    weights the comparable scalar is the quantized-vs-f32 logit error, which
-    catches codec *and* kernel numerical regressions)."""
+    """Quality gate on the SERVED layout (mirrors tests/test_served_quality):
+    one set of float weights → f32 dense / exact-Q4_K kernel layout /
+    production int8 execution layout. Reports the Q4_K error vs f32, the
+    int8 layout's EXTRA error on top of Q4_K (must be <=10% of Q4_K's own),
+    and a perplexity delta between the exact and served paths over a
+    deterministic synthetic corpus (BASELINE.md north star: 'ppl Δ vs FP16
+    within ggml's bounds', ref tests/test-quantize-fns.cpp:17-25)."""
     import jax.numpy as jnp
-    from ggml_gfx906_tpu.models import llama
-    from ggml_gfx906_tpu.ops.quantized import QuantTensor
+    from ggml_gfx906_tpu.models import llama, perplexity
+    from ggml_gfx906_tpu.ops.quantized import QuantTensor, to_int8_layout
     from ggml_gfx906_tpu.quant.types import GGMLType
 
     cfg = llama.LlamaConfig(
@@ -101,36 +103,55 @@ def quality_proxy():
     def mk(n, k):
         return (rng.standard_normal((n, k)) * 0.03).astype(np.float32)
 
-    def pair():
-        f32, q = {}, {}
-        D, V, FF = cfg.n_embd, cfg.n_vocab, cfg.n_ff
+    def three(w):
+        q = QuantTensor.quantize(GGMLType.Q4_K, w)
+        return jnp.asarray(w), q, to_int8_layout(q)
+
+    D, V, FF = cfg.n_embd, cfg.n_vocab, cfg.n_ff
+    ps = [{"blocks": []} for _ in range(3)]
+    wte = three(mk(V, D))
+    for i, p in enumerate(ps):
+        p["wte"] = wte[i]
+        p["out_norm"] = jnp.ones((D,), jnp.float32)
+    for _ in range(cfg.n_layer):
+        blks = [{}, {}, {}]
         for name, shp in (("wq", (D, D)), ("wk", (D, D)), ("wv", (D, D)),
                           ("wo", (D, D)), ("w_gate", (FF, D)),
                           ("w_up", (FF, D)), ("w_down", (D, FF))):
-            w = mk(*shp)
-            f32[name] = jnp.asarray(w)
-            q[name] = QuantTensor.quantize(GGMLType.Q4_K, w)
+            t = three(mk(*shp))
+            for i in range(3):
+                blks[i][name] = t[i]
         ones = jnp.ones((D,), jnp.float32)
-        f32["attn_norm"] = q["attn_norm"] = ones
-        f32["ffn_norm"] = q["ffn_norm"] = ones
-        return f32, q
+        for b in blks:
+            b["attn_norm"] = ones
+            b["ffn_norm"] = ones
+        for p, b in zip(ps, blks):
+            p["blocks"].append(b)
+    pf, pq, p8 = ps
 
-    wte = mk(cfg.n_vocab, cfg.n_embd)
-    pf = {"wte": jnp.asarray(wte), "out_norm": jnp.ones((cfg.n_embd,)),
-          "blocks": []}
-    pq = {"wte": QuantTensor.quantize(GGMLType.Q4_K, wte),
-          "out_norm": jnp.ones((cfg.n_embd,)), "blocks": []}
-    for _ in range(cfg.n_layer):
-        f32, q = pair()
-        pf["blocks"].append(f32)
-        pq["blocks"].append(q)
     toks = jnp.asarray(rng.integers(0, cfg.n_vocab, 32).astype(np.int32))
-    lf, _ = llama.forward(cfg, pf, toks, llama.make_cache(cfg, 128),
-                          jnp.int32(0))
-    lq, _ = llama.forward(cfg, pq, toks, llama.make_cache(cfg, 128),
-                          jnp.int32(0))
-    lf, lq = np.asarray(lf, np.float64), np.asarray(lq, np.float64)
-    return float(((lq - lf) ** 2).mean() / (lf ** 2).mean())
+
+    def logits(params):
+        lg, _ = llama.forward(cfg, params, toks, llama.make_cache(cfg, 128),
+                              jnp.int32(0))
+        return np.asarray(lg, np.float64)
+
+    lf, lq, l8 = logits(pf), logits(pq), logits(p8)
+
+    def nmse(a, b):
+        return float(((a - b) ** 2).mean() / (b ** 2).mean())
+
+    corpus = jnp.asarray(rng.integers(0, cfg.n_vocab, 512).astype(np.int32))
+    ppl_q = perplexity.perplexity_llama(cfg, pq, corpus, n_ctx=64)["ppl"]
+    ppl_8 = perplexity.perplexity_llama(cfg, p8, corpus, n_ctx=64)["ppl"]
+    return {
+        "logits_nmse_q4k_vs_f32": round(nmse(lq, lf), 8),
+        "logits_nmse_int8_extra": round(nmse(l8, lq), 8),
+        "logits_nmse_served_vs_f32": round(nmse(l8, lf), 8),
+        "ppl_q4k_exact": round(ppl_q, 4),
+        "ppl_served_int8": round(ppl_8, 4),
+        "ppl_rel_delta": round(abs(ppl_8 - ppl_q) / ppl_q, 6),
+    }
 
 
 def bench_llama7b():
@@ -247,7 +268,7 @@ def bench_llama7b():
                 * jnp.dtype(cfg.compute_dtype).itemsize)
     roofline = bw / (wbytes + kv_bytes)
     note("quality proxy...")
-    nmse = quality_proxy()
+    quality = quality_proxy()
     print(json.dumps({
         "metric": "llama7b_q4k_decode_tok_s_per_chip",
         "value": round(toks_s, 2),
@@ -258,7 +279,7 @@ def bench_llama7b():
         "pct_hbm_roofline": round(100 * toks_s / roofline, 1),
         "measured_hbm_gbs": round(bw / 1e9, 0),
         "weight_bytes": wbytes,
-        "logits_nmse_q4k_vs_f32": round(nmse, 8),
+        **quality,
         "device": str(jax.devices()[0]),
     }))
 
