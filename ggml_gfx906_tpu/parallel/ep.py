@@ -61,7 +61,12 @@ def ep_mul_mat_id(mesh: Mesh, experts, x, ids, capacity: int | None = None,
 
     experts (E, N, K) sharded on `axis`; x (T, U, K), ids (T, U) int32
     (sharded on `batch_axis` over T when present). `capacity` bounds the
-    per-expert token queue per device exactly as in ops.mul_mat_id."""
+    per-expert token queue PER (dp shard, device): with dp>1 each dp shard
+    computes queue positions over its own T/dp tokens, so up to
+    dp*capacity tokens per expert survive globally — the standard
+    GShard-style local-capacity semantics, and intentionally different
+    from a single-device run over the full batch (tested in
+    tests/test_ep.py::test_ep_capacity_is_per_dp_shard)."""
     bax = batch_axis if (batch_axis in mesh.shape
                          and mesh.shape[batch_axis] > 1) else None
     body = functools.partial(_ep_body, axis=axis, capacity=capacity)

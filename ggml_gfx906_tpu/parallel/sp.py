@@ -57,17 +57,20 @@ def _chunk_attn(q, k, v, row0, col0, scale, softcap, m, l, acc):
 
 
 def _ring_body(q, k, v, *, axis, sp, scale, softcap):
-    """shard_map body: local q chunk vs all K/V chunks, rotated over ICI."""
+    """shard_map body: local q chunk vs all K/V chunks, rotated over ICI.
+
+    K/V travel the ring in their INPUT dtype and original KVH head count;
+    the f32 cast and GQA head-repeat happen per chunk inside the update,
+    so ring ICI traffic is B*KVH*Ck*D*itemsize per step instead of
+    rep x (and 2x for bf16) more. Chunks with j > i are fully causally
+    masked and contribute exactly zero — a zigzag chunk assignment would
+    reclaim those FLOPs and is a known perf follow-up, not a correctness
+    issue."""
     i = jax.lax.axis_index(axis)
     B, H, C, D = q.shape
     Hkv = k.shape[1]
-    if Hkv != H:
-        rep = H // Hkv
-        k = jnp.repeat(k, rep, axis=1)
-        v = jnp.repeat(v, rep, axis=1)
+    rep = H // Hkv
     q = q.astype(jnp.float32)
-    k = k.astype(jnp.float32)
-    v = v.astype(jnp.float32)
     Ck = k.shape[2]
     row0 = i * C
     m = jnp.full((B, H, C), NEG_INF, jnp.float32)
@@ -76,7 +79,12 @@ def _ring_body(q, k, v, *, axis, sp, scale, softcap):
     perm = [(s, (s + 1) % sp) for s in range(sp)]
     for t in range(sp):
         j = (i - t) % sp                  # chunk currently held
-        m, l, acc = _chunk_attn(q, k, v, row0, j * Ck, scale, softcap,
+        kc = k.astype(jnp.float32)
+        vc = v.astype(jnp.float32)
+        if rep != 1:
+            kc = jnp.repeat(kc, rep, axis=1)
+            vc = jnp.repeat(vc, rep, axis=1)
+        m, l, acc = _chunk_attn(q, kc, vc, row0, j * Ck, scale, softcap,
                                 m, l, acc)
         if t + 1 < sp:
             k = jax.lax.ppermute(k, axis, perm)

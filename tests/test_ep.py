@@ -44,3 +44,26 @@ def test_ep_capacity_drops_match():
     got = np.asarray(ep_mul_mat_id(mesh, shard_experts(mesh, experts),
                                    x, ids, capacity=cap))
     assert np.allclose(got, ref, atol=1e-6), np.abs(got - ref).max()
+
+
+def test_ep_capacity_is_per_dp_shard():
+    """Documents the intended dp>1 capacity semantics (GShard-style LOCAL
+    capacity): each dp shard bounds its expert queues over its own T/dp
+    tokens, so the sharded result equals per-shard single-device runs
+    concatenated — NOT one run over the full batch."""
+    rng = np.random.default_rng(21)
+    E, N, K, T, U = 4, 8, 8, 8, 2
+    dp = 2
+    experts, x, _ = _mk(rng, E, N, K, T, U)
+    ids = jnp.asarray(rng.integers(0, E, (T, U)), jnp.int32)
+    cap = 2
+    mesh = make_ep_mesh(ep=4, dp=dp)
+    got = np.asarray(ep_mul_mat_id(mesh, shard_experts(mesh, experts),
+                                   x, ids, capacity=cap))
+    half = T // dp
+    ref = np.concatenate([
+        np.asarray(mul_mat_id(experts, x[s * half:(s + 1) * half],
+                              ids[s * half:(s + 1) * half], capacity=cap))
+        for s in range(dp)])
+    nmse = ((got - ref) ** 2).sum() / (ref ** 2).sum()
+    assert nmse < 1e-12, nmse
