@@ -67,6 +67,7 @@ class _Pending:
     req: Request
     kv: object                   # single-sequence KVCache being filled
     done_tokens: int = 0
+    first: object = None         # device first-token once prefill completes
 
 
 class Engine:
@@ -75,11 +76,18 @@ class Engine:
 
     def __init__(self, model_mod, cfg, params, max_batch: int = 8,
                  max_seq: int = 1024, chunk_size: int | None = None,
-                 mesh=None):
+                 mesh=None, paged_pages: int | None = None):
         """mesh: optional dp×tp jax Mesh — decode/prefill then run through
         parallel/tp.py's shard_map programs (params must come from
         shard_llama_params; the KV pool is created head-sharded). The host
-        scheduling logic is identical either way."""
+        scheduling logic is identical either way.
+
+        paged_pages: size of a PAGED KV pool (runtime/paged_kv.py) instead
+        of the dense max_batch × max_seq slab — HBM then scales with live
+        tokens, so short-sequence workloads fit ~2x the slots at equal HBM
+        (ref KV-cell management, examples/gpt-2/main-batched.cpp:88-139).
+        Admission blocks (keeps decoding active slots) while the pool is
+        full. Not yet combined with `mesh`."""
         self.m = model_mod
         self.cfg = cfg
         self.params = params
@@ -91,9 +99,28 @@ class Engine:
         # fattn instances, fattn.cu:180-270) — config "kv_quant"
         self.kv_quant = bool(config.get("kv_quant"))
         kvh = getattr(cfg, "n_kv_head", None) or cfg.n_head
-        self.kv = BatchedKVCache.create(
-            cfg.n_layer, max_batch, max_seq, kvh, cfg.head_dim,
-            dtype=cfg.compute_dtype, quant=self.kv_quant)
+        self.paged = paged_pages is not None
+        if self.paged:
+            if mesh is not None:
+                raise NotImplementedError("paged KV + mesh")
+            from .paged_kv import PagedKVCache
+
+            self.page_size = int(config.get("kv_page_size"))
+            self.kv = PagedKVCache.create(
+                cfg.n_layer, max_batch, max_seq, kvh, cfg.head_dim,
+                total_pages=paged_pages, page_size=self.page_size,
+                dtype=cfg.compute_dtype, quant=self.kv_quant)
+            self._free_pages = list(range(paged_pages))
+            self._slot_pages: list[list[int]] = [[] for _ in
+                                                 range(max_batch)]
+            scratch = self.kv.scratch_page
+            self._set_pt = jax.jit(lambda pt, b, i, p: pt.at[b, i].set(p))
+            self._reset_pt_row = jax.jit(
+                lambda pt, b: pt.at[b].set(scratch))
+        else:
+            self.kv = BatchedKVCache.create(
+                cfg.n_layer, max_batch, max_seq, kvh, cfg.head_dim,
+                dtype=cfg.compute_dtype, quant=self.kv_quant)
         if mesh is not None:
             from jax.sharding import NamedSharding
 
@@ -191,6 +218,13 @@ class Engine:
 
         self._install = _install
 
+        @functools.partial(jax.jit, donate_argnums=0)
+        def _install_paged(kv, b, pages, k_slot, v_slot, length,
+                           k_d=(), v_d=()):
+            return kv.set_slot(b, pages, k_slot, v_slot, length, k_d, v_d)
+
+        self._install_paged = _install_paged
+
         @jax.jit
         def _set_tok(toks, b, t):
             return toks.at[b].set(t)
@@ -284,26 +318,55 @@ class Engine:
             self.pending = _Pending(r, mk)
         p = self.pending
         toks = p.req.prompt
-        chunk = toks[p.done_tokens:p.done_tokens + self.chunk_size]
-        pad_len = min(_bucket(len(chunk)), self.chunk_size)
-        padded = np.zeros(pad_len, np.int32)
-        padded[:len(chunk)] = chunk
-        logits, p.kv = self._prefill_chunk(
-            self.params, jnp.asarray(padded), p.kv,
-            jnp.int32(p.done_tokens))
-        p.done_tokens += len(chunk)
-        if p.done_tokens < len(toks):
-            return
-        # prompt complete → sample the first token ON DEVICE and install
-        # the slot; the token value is harvested later (no host fetch here:
-        # it would drain the in-flight decode queue and stall every slot)
-        b = self._free_slot()
         r = p.req
-        first = _first_token(logits[len(chunk) - 1], jnp.int32(r.seed),
-                             jnp.float32(r.temp), jnp.int32(r.top_k),
-                             jnp.float32(r.top_p))
-        self.kv = self._install(self.kv, jnp.int32(b), p.kv.k, p.kv.v,
-                                jnp.int32(len(toks)), p.kv.k_d, p.kv.v_d)
+        if p.first is None:
+            chunk = toks[p.done_tokens:p.done_tokens + self.chunk_size]
+            pad_len = min(_bucket(len(chunk)), self.chunk_size)
+            padded = np.zeros(pad_len, np.int32)
+            padded[:len(chunk)] = chunk
+            logits, p.kv = self._prefill_chunk(
+                self.params, jnp.asarray(padded), p.kv,
+                jnp.int32(p.done_tokens))
+            p.done_tokens += len(chunk)
+            if p.done_tokens < len(toks):
+                return
+            # prompt complete → sample the first token ON DEVICE; install
+            # may still be deferred (paged pool full), so it lives on the
+            # pending record. No host fetch here: that would drain the
+            # in-flight decode queue and stall every slot.
+            p.first = _first_token(logits[len(chunk) - 1],
+                                   jnp.int32(r.seed), jnp.float32(r.temp),
+                                   jnp.int32(r.top_k), jnp.float32(r.top_p))
+        b = self._free_slot()
+        if self.paged:
+            ps = self.page_size
+            n_need = -(-len(toks) // ps)
+            if len(self._free_pages) < n_need:
+                # pool full: keep decoding active slots, retry next step
+                # (deterministic: completions free pages in rid order)
+                if not any(s is not None for s in self.slots):
+                    raise RuntimeError(
+                        f"paged KV pool too small: request needs {n_need} "
+                        f"pages, pool has {len(self._free_pages)} free and "
+                        f"no slot is active")
+                return
+        first = p.first
+        if self.paged:
+            pages = [self._free_pages.pop() for _ in range(n_need)]
+            self._slot_pages[b] = pages
+            # bucket the page count (jit shape key) to powers of two;
+            # padding points at the scratch page
+            n_pad = min(next(2 ** i for i in range(12)
+                             if 2 ** i >= n_need),
+                        self.max_seq // ps)
+            arr = np.full(n_pad, self.kv.scratch_page, np.int32)
+            arr[:n_need] = pages
+            self.kv = self._install_paged(
+                self.kv, jnp.int32(b), jnp.asarray(arr), p.kv.k, p.kv.v,
+                jnp.int32(len(toks)), p.kv.k_d, p.kv.v_d)
+        else:
+            self.kv = self._install(self.kv, jnp.int32(b), p.kv.k, p.kv.v,
+                                    jnp.int32(len(toks)), p.kv.k_d, p.kv.v_d)
         self.slots[b] = r
         self.seeds[b] = r.seed
         self.temps[b] = r.temp
@@ -331,6 +394,41 @@ class Engine:
             self.host_len[b] = 0
             self._state_dirty = True
             self.kv = self.kv.with_lengths(self.kv.lengths.at[b].set(0))
+            if self.paged:
+                # recycle pages; the row must point at the scratch page —
+                # inactive slots still issue masked decode writes at pos 0
+                self._free_pages.extend(self._slot_pages[b])
+                self._slot_pages[b] = []
+                self.kv = self.kv.with_page_table(
+                    self._reset_pt_row(self.kv.page_table, jnp.int32(b)))
+
+    def _ensure_pages(self, active):
+        """Grow page tables so this dispatch's write position (host_len[b],
+        the pre-increment length) has a page. Host-side and deterministic;
+        one small device scatter only on the steps where a slot crosses a
+        page boundary (every page_size steps)."""
+        ps = self.page_size
+        ups = []
+        for b in np.nonzero(active)[0]:
+            # cap at the request's own maximum: pipelined windows keep
+            # dispatching up to harvest_depth steps past completion, and
+            # those discarded writes land on the scratch page via the
+            # unallocated page-table tail — they must not consume pages
+            r = self.slots[b]
+            cap = min(len(r.prompt) + r.max_new_tokens, self.max_seq) - 1
+            need = min(int(self.host_len[b]), cap) // ps + 1
+            while len(self._slot_pages[b]) < need:
+                if not self._free_pages:
+                    raise RuntimeError("paged KV pool exhausted mid-decode "
+                                       "(size the pool for max live tokens)")
+                pg = self._free_pages.pop()
+                ups.append((b, len(self._slot_pages[b]), pg))
+                self._slot_pages[b].append(pg)
+        if ups:
+            bs, idxs, pgs = (np.asarray(u, np.int32) for u in zip(*ups))
+            self.kv = self.kv.with_page_table(self._set_pt(
+                self.kv.page_table, jnp.asarray(bs), jnp.asarray(idxs),
+                jnp.asarray(pgs)))
 
     def _dispatch(self):
         """Enqueue one batched decode step (NO host sync) chained through
@@ -339,6 +437,8 @@ class Engine:
         active = np.array([s is not None for s in self.slots], bool)
         if not active.any():
             return None
+        if self.paged:
+            self._ensure_pages(active)
         # attention window: smallest bucket covering the longest active
         # slot (incl. this step's new position) — short batches then skip
         # the HBM reads for the padded tail of the max_seq cache

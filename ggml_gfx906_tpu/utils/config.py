@@ -114,4 +114,7 @@ register("attn_impl", "pallas",
          "underperforms XLA fusions; utils/autotune.choose_attn measures)")
 register("kv_quant", False,
          "store serving KV caches as int8 with per-(head,pos) scales")
+register("kv_page_size", 64,
+         "positions per page of the paged serving KV pool "
+         "(Engine(paged_pages=N); runtime/paged_kv.py)")
 register("log_level", "info", "log threshold: debug/info/warn/error")
