@@ -42,6 +42,10 @@ def main(argv=None):
         from . import gptj
         cfg, params = gptj.load(args.model)
         generate = gptj.generate
+    elif arch == "llama" and int(reader.kv.get("llama.expert_count", 0)) >= 2:
+        from . import moe
+        cfg, params = moe.load(args.model)
+        generate = moe.generate
     elif arch == "llama":
         from . import llama
         cfg, params = llama.load(args.model)

@@ -190,3 +190,72 @@ def convert_gpt2(state_dict: dict, config, path, ftype: GGMLType = GGMLType.F32,
         _add(w, gg + "ffn_down.bias", t(hf + "mlp.c_proj.bias"), ftype)
     w.write(path)
     return path
+
+
+def convert_mixtral(state_dict: dict, config, path,
+                    ftype: GGMLType = GGMLType.F32):
+    """HF MixtralForCausalLM state_dict → Mixtral-convention GGUF
+    (arch=llama + llama.expert_count, stacked blk.N.ffn_*_exps tensors —
+    the llama.cpp schema the reference ecosystem serves Mixtral with).
+
+    Expert stacks are quantized per 2-D expert slice when ftype is set
+    (each expert's rows quantize independently; wire bytes identical to
+    per-expert tensors)."""
+    import torch  # noqa: F401  (state_dict tensors)
+
+    def t(name):
+        return state_dict[name].detach().cpu().numpy().astype(np.float32)
+
+    w = GGUFWriter()
+    w.set("general.architecture", "llama")
+    w.set("general.name", "mixtral")
+    w.set("llama.vocab_size", int(config.vocab_size))
+    w.set("llama.context_length", int(config.max_position_embeddings))
+    w.set("llama.embedding_length", int(config.hidden_size))
+    w.set("llama.block_count", int(config.num_hidden_layers))
+    w.set("llama.feed_forward_length", int(config.intermediate_size))
+    w.set("llama.attention.head_count", int(config.num_attention_heads))
+    w.set("llama.attention.head_count_kv", int(config.num_key_value_heads))
+    w.set("llama.attention.layer_norm_rms_epsilon",
+          float(config.rms_norm_eps))
+    w.set("llama.rope.freq_base", float(getattr(config, "rope_theta",
+                                                10000.0)))
+    w.set("llama.expert_count", int(config.num_local_experts))
+    w.set("llama.expert_used_count", int(config.num_experts_per_tok))
+
+    def add_exps(name, arrs):
+        stacked = np.ascontiguousarray(np.stack(arrs))      # (E, n_out, K)
+        tt = ftype
+        if tt != GGMLType.F32 and stacked.shape[-1] % \
+                TYPE_TRAITS[tt].blck_size == 0:
+            w.add_array_tensor(name, stacked, tt)
+        else:
+            w.add_array_tensor(name, stacked)
+
+    _add(w, "token_embd.weight", t("model.embed_tokens.weight"), ftype)
+    _add(w, "output_norm.weight", t("model.norm.weight"), ftype)
+    if "lm_head.weight" in state_dict:
+        _add(w, "output.weight", t("lm_head.weight"), ftype)
+    E = int(config.num_local_experts)
+    for i in range(config.num_hidden_layers):
+        hf = f"model.layers.{i}."
+        gg = f"blk.{i}."
+        _add(w, gg + "attn_norm.weight", t(hf + "input_layernorm.weight"),
+             ftype)
+        for s, d in (("q", "attn_q"), ("k", "attn_k"), ("v", "attn_v"),
+                     ("o", "attn_output")):
+            _add(w, gg + d + ".weight",
+                 t(hf + f"self_attn.{s}_proj.weight"), ftype)
+        _add(w, gg + "ffn_norm.weight",
+             t(hf + "post_attention_layernorm.weight"), ftype)
+        w.add_array_tensor(gg + "ffn_gate_inp.weight",
+                           t(hf + "block_sparse_moe.gate.weight"))
+        moe = hf + "block_sparse_moe.experts."
+        add_exps(gg + "ffn_gate_exps.weight",
+                 [t(moe + f"{e}.w1.weight") for e in range(E)])
+        add_exps(gg + "ffn_down_exps.weight",
+                 [t(moe + f"{e}.w2.weight") for e in range(E)])
+        add_exps(gg + "ffn_up_exps.weight",
+                 [t(moe + f"{e}.w3.weight") for e in range(E)])
+    w.write(path)
+    return path
