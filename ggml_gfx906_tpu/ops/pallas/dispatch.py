@@ -17,6 +17,25 @@ KERNEL_TYPES = {GGMLType.Q4_K, GGMLType.Q8_0, GGMLType.Q4_0,
 # config "int8_min_m" / env GGML_TPU_INT8_MIN_M (0 disables).
 INT8_TYPES = {GGMLType.Q4_K, GGMLType.Q8_0, GGMLType.Q4_0}
 
+# decode matvecs through the manual-DMA pipelined kernels (single grid
+# step, wire-density streaming — see qmm.py "manual-pipeline decode").
+# config "qmm_pipeline": auto (TPU only) | on | off.
+PIPELINE_TYPES = {GGMLType.Q4_K}
+
+
+def _use_pipeline(m: int, qt) -> bool:
+    mode = config.get("qmm_pipeline")
+    if mode == "off" or qt.qtype not in PIPELINE_TYPES:
+        return False
+    if qmm._FORCE_INTERPRET[0]:
+        return False          # conformance CPU-oracle leg: outer-grid path
+    import jax
+
+    if mode == "auto" and jax.default_backend() != "tpu":
+        return False
+    n, k = qt.shape
+    return m <= 16 and n % 128 == 0 and k % 256 == 0 and n >= 256
+
 
 def matmul(x, qt):
     """x (..., K) @ qt(N, K).T → (..., N) f32 via the fused kernel.
@@ -27,6 +46,9 @@ def matmul(x, qt):
     x2 = x.reshape(-1, x.shape[-1])
     f = qt.fields
     min_m = config.get("int8_min_m")
+    if _use_pipeline(x2.shape[0], qt):
+        out = qmm.qmm_q4_K_pipelined(x2, f["qs"], f["scm"], f["dd"])
+        return out.reshape(*lead, qt.shape[0])
     if (qt.qtype in INT8_TYPES and min_m > 0 and x2.shape[0] >= min_m):
         if qt.qtype == GGMLType.Q4_K:
             out = qmm.qmm_q4_K_i8(x2, f["qs"], f["scm"], f["dd"])

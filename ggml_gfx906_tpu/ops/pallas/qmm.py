@@ -194,6 +194,116 @@ def qmm_q4_K(x, qs_k, scm, dd):
                         [128, 16, 2])
 
 
+# ------------------------------------------------- manual-pipeline decode
+# The outer Mosaic grid carries ~10-35 us of fixed overhead per step on
+# tunnel-virtualized runtimes (docs/PERFORMANCE.md), which killed the
+# wire-density kernels in r02. Measured r03 (scripts/exp_dma_tune.py): a
+# SINGLE grid step whose inner fori_loop double-buffers explicit
+# make_async_copy DMAs streams at 692-819 GB/s (92-109% of measured HBM) —
+# the overhead lives in the grid machinery, not the DMA engine. These
+# decode kernels therefore stream the packed fields (4.75 bpw for Q4_K)
+# through a manual pipeline: x resident in VMEM, weights chunked over N,
+# per-chunk math identical (same op order → bit-identical) to the
+# outer-grid kernels above. Direct analogue of the fork's raison d'être:
+# V_DOT8 on packed nibbles, q4_0-gfx906.cuh:14-21.
+
+def _pipe_tn(n: int, row_bytes: int, want: int = 512 << 10) -> int:
+    """Largest 128-multiple chunk of N that divides n and keeps a chunk
+    near `want` bytes (two slots must fit VMEM beside x and out)."""
+    best = 128
+    t = 128
+    while t * 2 <= n and n % (t * 2) == 0 and (t * 2) * row_bytes <= want:
+        t *= 2
+        best = t
+    return best
+
+
+def _q4k_pipe_kernel(xlo_ref, xhi_ref, scm_ref, dd_ref, qs_hbm, out_ref, *,
+                     kt: int, tn: int, slots: int):
+    # qs (84% of the wire bytes) streams HBM→VMEM through the manual
+    # double-buffered pipeline; scm/dd ride in as ordinary full VMEM
+    # inputs (pallas fetches them once at full DMA rate — manual slices
+    # of their narrow rows fail Mosaic's 128-lane slice alignment) and
+    # the per-chunk rows are read with dynamic-index loads.
+    m, n = out_ref.shape
+    num_chunks = n // tn
+
+    def body(qs_s, sem):
+        def dma(slot, ci):
+            return pltpu.make_async_copy(
+                qs_hbm.at[pl.ds(ci * tn, tn)], qs_s.at[slot], sem.at[slot])
+
+        for s in range(slots - 1):
+            dma(s, s).start()
+
+        def loop(ci, _):
+            slot = ci % slots
+
+            @pl.when(ci + slots - 1 < num_chunks)
+            def _():
+                dma((ci + slots - 1) % slots, ci + slots - 1).start()
+
+            dma(slot, ci).wait()
+            # compute in 128-row sub-tiles: Mosaic's stack allocator keeps
+            # every unrolled iteration's vector temps alive, so full-chunk
+            # temps OOMed scoped VMEM at 30 MB (tn=1024); per-sub-tile
+            # temps match the proven outer-grid kernel's footprint
+            for r0 in range(0, tn, 128):
+                rows = pl.ds(ci * tn + r0, 128)
+                acc = jnp.zeros((m, 128), jnp.float32)
+                for i in range(kt):
+                    lo, hi = _nibbles(
+                        qs_s[slot][r0:r0 + 128, i * 128:(i + 1) * 128])
+                    s_ = scm_ref[rows, i * 16:(i + 1) * 16] \
+                        .astype(jnp.int32).astype(jnp.float32)
+                    d = dd_ref[rows, 2 * i:2 * i + 1]
+                    dm = dd_ref[rows, 2 * i + 1:2 * i + 2]
+                    wlo = lo * pltpu.repeat(s_[:, 0:4] * d, 32, axis=1) \
+                        - pltpu.repeat(s_[:, 8:12] * dm, 32, axis=1)
+                    whi = hi * pltpu.repeat(s_[:, 4:8] * d, 32, axis=1) \
+                        - pltpu.repeat(s_[:, 12:16] * dm, 32, axis=1)
+                    acc += _dot_nt(xlo_ref[:, i * 128:(i + 1) * 128], wlo)
+                    acc += _dot_nt(xhi_ref[:, i * 128:(i + 1) * 128], whi)
+                out_ref[:, pl.ds(ci * tn + r0, 128)] = acc
+            return 0
+
+        jax.lax.fori_loop(0, num_chunks, loop, 0)
+
+    pl.run_scoped(
+        body,
+        qs_s=pltpu.VMEM((slots, tn, kt * 128), jnp.uint8),
+        sem=pltpu.SemaphoreType.DMA((slots,)))
+
+
+def qmm_q4_K_pipelined(x, qs_k, scm, dd, slots: int = 3):
+    """Decode-shaped (small M) Q4_K matmul streaming wire-density bytes
+    through the manual DMA pipeline. Bit-identical math to qmm_q4_K."""
+    m, kdim = x.shape
+    n = qs_k.shape[0]
+    kt = kdim // 256
+    assert qs_k.shape[1] == kt * 128, (x.shape, qs_k.shape)
+    xlo, xhi = q4k_split_x(x.astype(jnp.float32))
+    tn = _pipe_tn(n, kt * 128)
+    # VMEM budget: resident scm+dd (n·kt·24 B) + slots·tn·kt·128 qs chunks
+    resident = n * kt * 24
+    if resident > 8 << 20:
+        slots = 2
+    slots = max(2, min(slots, n // tn))
+    return pl.pallas_call(
+        functools.partial(_q4k_pipe_kernel, kt=kt, tn=tn, slots=slots),
+        in_specs=[
+            pl.BlockSpec((m, kt * 128), lambda: (0, 0)),
+            pl.BlockSpec((m, kt * 128), lambda: (0, 0)),
+            pl.BlockSpec((n, kt * 16), lambda: (0, 0)),
+            pl.BlockSpec((n, kt * 2), lambda: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((m, n), lambda: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        interpret=_interpret(),
+    )(xlo, xhi, scm, dd, qs_k)
+
+
 # ---------------------------------------------------------------- Q8_0
 # per 128-element lane tile: byte lane l = 4*j + b (b = 32-block 0..3)
 # → element 128*t + 32*b + j; d flattened (N, K/32) in natural block order

@@ -108,6 +108,11 @@ register("weights_layout", "kernel",
          "segmented integer dots — the fast decode path on runtimes where "
          "Pallas DMA underperforms XLA fusions), or 'auto' (measure both "
          "once per process and pick — utils/autotune.py)")
+register("qmm_pipeline", "auto",
+         "decode matvecs through the manual-DMA pipelined Pallas kernels "
+         "(single grid step, wire-density streaming — r03 measured "
+         "692-819 GB/s where the outer grid managed ~175): 'auto' (TPU "
+         "compiled path only), 'on', 'off'")
 register("attn_impl", "pallas",
          "causal attention implementation: 'pallas' (fused flash kernel) "
          "or 'xla' (reference path — faster on runtimes where Pallas DMA "

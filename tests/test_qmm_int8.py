@@ -122,3 +122,25 @@ def test_int8_layout_batched_shapes():
     x = jnp.asarray(RNG.standard_normal((2, 3, k)).astype(np.float32))
     y = qz.qmatmul(x, qt8)
     assert y.shape == (2, 3, n)
+
+
+def test_pipelined_q4k_matches_outer_grid():
+    """Manual-DMA pipelined decode kernel (qmm_q4_K_pipelined) vs the
+    outer-grid kernel: same math per superblock (interpret mode here;
+    compiled parity is asserted on hardware by scripts/exp_pipe_model.py)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ggml_gfx906_tpu.ops.pallas import qmm
+    from ggml_gfx906_tpu.ops.quantized import QuantTensor
+    from ggml_gfx906_tpu.quant.types import GGMLType
+
+    rng = np.random.default_rng(5)
+    for n, k, m in [(512, 512, 1), (384, 1024, 8), (256, 2816, 4)]:
+        w = (rng.standard_normal((n, k)) * 0.05).astype(np.float32)
+        f = QuantTensor.quantize(GGMLType.Q4_K, w).fields
+        x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+        ref = np.asarray(qmm.qmm_q4_K(x, f["qs"], f["scm"], f["dd"]))
+        out = np.asarray(qmm.qmm_q4_K_pipelined(x, f["qs"], f["scm"],
+                                                f["dd"]))
+        nmse = ((out - ref) ** 2).mean() / (ref ** 2).mean()
+        assert nmse < 1e-11, (n, k, m, nmse)
