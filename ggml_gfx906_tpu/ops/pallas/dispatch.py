@@ -19,7 +19,9 @@ INT8_TYPES = {GGMLType.Q4_K, GGMLType.Q8_0, GGMLType.Q4_0}
 
 # decode matvecs through the manual-DMA pipelined kernels (single grid
 # step, wire-density streaming — see qmm.py "manual-pipeline decode").
-# config "qmm_pipeline": auto (TPU only) | on | off.
+# config "qmm_pipeline": on/auto (TPU m==1 matvecs) | off (default —
+# measured 0.46x the int8-XLA path end-to-end on the tunnel runtime,
+# docs/PERFORMANCE.md; per-call it already ties at 1.7x fewer bytes).
 PIPELINE_TYPES = {GGMLType.Q4_K}
 
 
@@ -34,7 +36,7 @@ def _use_pipeline(m: int, qt) -> bool:
     if mode == "auto" and jax.default_backend() != "tpu":
         return False
     n, k = qt.shape
-    return m <= 16 and n % 128 == 0 and k % 256 == 0 and n >= 256
+    return m == 1 and n % 128 == 0 and k % 256 == 0 and n >= 256
 
 
 def matmul(x, qt):

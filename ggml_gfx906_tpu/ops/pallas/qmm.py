@@ -195,17 +195,29 @@ def qmm_q4_K(x, qs_k, scm, dd):
 
 
 # ------------------------------------------------- manual-pipeline decode
-# The outer Mosaic grid carries ~10-35 us of fixed overhead per step on
-# tunnel-virtualized runtimes (docs/PERFORMANCE.md), which killed the
-# wire-density kernels in r02. Measured r03 (scripts/exp_dma_tune.py): a
-# SINGLE grid step whose inner fori_loop double-buffers explicit
-# make_async_copy DMAs streams at 692-819 GB/s (92-109% of measured HBM) —
-# the overhead lives in the grid machinery, not the DMA engine. These
-# decode kernels therefore stream the packed fields (4.75 bpw for Q4_K)
-# through a manual pipeline: x resident in VMEM, weights chunked over N,
-# per-chunk math identical (same op order → bit-identical) to the
-# outer-grid kernels above. Direct analogue of the fork's raison d'être:
-# V_DOT8 on packed nibbles, q4_0-gfx906.cuh:14-21.
+# Wire-density decode (4.75 bpw streamed), built on three r03 hardware
+# measurements (scripts/exp_dma_tune.py, exp_unpack_cost.py, /tmp probes):
+#   1. a SINGLE grid step whose inner fori_loop double-buffers explicit
+#      make_async_copy DMAs streams 692-819 GB/s (92-109% of measured
+#      HBM) — r02's "Pallas DMA pathological" verdict was the OUTER grid
+#      machinery, not the DMA engine;
+#   2. nibble unpack + f32 convert on full-width chunks is unmeasurably
+#      cheap, BUT any (128,4)→(128,128) scale broadcast costs ~0.4 us
+#      (pltpu.repeat, either axis — lane/sublane relayouts), and
+#      dynamic-index loads cost ~1 us each: per-superblock scale
+#      expansion runs a 4096² matmul at 8 GB/s;
+#   3. therefore NO per-element scale materialization: the kernel computes
+#      per-(row, 32-group) partial sums with ONE big MXU dot per nibble
+#      half against a block-diagonal X (XbT[g, l] = x[l]·[l∈group g]) and
+#      applies the Q4_K scales on the small (rows, groups) output —
+#      algebraically  y[r] = Σ_g d·sc[r,g]·S[r,g] − Σ_g dmin·mm[r,g]·XS[g],
+#      S = nibbles ⊛ XbT, XS = per-group x sums. Scale-selection from the
+#      packed scm field also rides the MXU (0/1 selection matrices).
+# The lo/hi nibbles are exact in bf16 (integers ≤ 15), so the main dots
+# run DEFAULT precision; x is bf16-truncated there (≈2⁻⁹ relative), well
+# inside the reference's 0.02 dot-error budget
+# (tests/test-quantize-fns.cpp:23). Direct analogue of the fork's raison
+# d'être: V_DOT8 on packed nibbles, q4_0-gfx906.cuh:14-21.
 
 def _pipe_tn(n: int, row_bytes: int, want: int = 512 << 10) -> int:
     """Largest 128-multiple chunk of N that divides n and keeps a chunk
@@ -218,53 +230,82 @@ def _pipe_tn(n: int, row_bytes: int, want: int = 512 << 10) -> int:
     return best
 
 
-def _q4k_pipe_kernel(xlo_ref, xhi_ref, scm_ref, dd_ref, qs_hbm, out_ref, *,
-                     kt: int, tn: int, slots: int):
-    # qs (84% of the wire bytes) streams HBM→VMEM through the manual
-    # double-buffered pipeline; scm/dd ride in as ordinary full VMEM
-    # inputs (pallas fetches them once at full DMA rate — manual slices
-    # of their narrow rows fail Mosaic's 128-lane slice alignment) and
-    # the per-chunk rows are read with dynamic-index loads.
-    m, n = out_ref.shape
-    num_chunks = n // tn
+def _dot_nt_default(a, b):
+    """(p, L) ⋅ (q, L)^T → (p, q), DEFAULT precision (single MXU pass —
+    exact when one operand is small integers, e.g. unpacked nibbles)."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
-    def body(qs_s, sem):
+
+def _q4k_pipe_kernel(xbt_lo_ref, xbt_hi_ref, scm_ref,
+                     dd_ref, sel_ref, seld_ref, qs_hbm, out_ref, *,
+                     kt: int, tn: int, slots: int, scm_resident: bool):
+    num_chunks = out_ref.shape[0]       # out is (n // tn, tn)
+    G = kt * 4          # 32-element scale groups per nibble half
+
+    ones_g = jnp.ones((1, G), jnp.float32)
+
+    def body(qs_s, scm_s, lo_s, hi_s, sem, sem2):
         def dma(slot, ci):
             return pltpu.make_async_copy(
                 qs_hbm.at[pl.ds(ci * tn, tn)], qs_s.at[slot], sem.at[slot])
 
+        def dma2(slot, ci):
+            return pltpu.make_async_copy(
+                scm_ref.at[pl.ds(ci * tn, tn)], scm_s.at[slot],
+                sem2.at[slot])
+
+        def start(slot, ci):
+            dma(slot, ci).start()
+            if not scm_resident:
+                dma2(slot, ci).start()
+
+        def wait(slot, ci):
+            dma(slot, ci).wait()
+            if not scm_resident:
+                dma2(slot, ci).wait()
+
         for s in range(slots - 1):
-            dma(s, s).start()
+            start(s, s)
 
         def loop(ci, _):
             slot = ci % slots
 
             @pl.when(ci + slots - 1 < num_chunks)
             def _():
-                dma((ci + slots - 1) % slots, ci + slots - 1).start()
+                start((ci + slots - 1) % slots, ci + slots - 1)
 
-            dma(slot, ci).wait()
-            # compute in 128-row sub-tiles: Mosaic's stack allocator keeps
-            # every unrolled iteration's vector temps alive, so full-chunk
-            # temps OOMed scoped VMEM at 30 MB (tn=1024); per-sub-tile
-            # temps match the proven outer-grid kernel's footprint
-            for r0 in range(0, tn, 128):
-                rows = pl.ds(ci * tn + r0, 128)
-                acc = jnp.zeros((m, 128), jnp.float32)
-                for i in range(kt):
-                    lo, hi = _nibbles(
-                        qs_s[slot][r0:r0 + 128, i * 128:(i + 1) * 128])
-                    s_ = scm_ref[rows, i * 16:(i + 1) * 16] \
-                        .astype(jnp.int32).astype(jnp.float32)
-                    d = dd_ref[rows, 2 * i:2 * i + 1]
-                    dm = dd_ref[rows, 2 * i + 1:2 * i + 2]
-                    wlo = lo * pltpu.repeat(s_[:, 0:4] * d, 32, axis=1) \
-                        - pltpu.repeat(s_[:, 8:12] * dm, 32, axis=1)
-                    whi = hi * pltpu.repeat(s_[:, 4:8] * d, 32, axis=1) \
-                        - pltpu.repeat(s_[:, 12:16] * dm, 32, axis=1)
-                    acc += _dot_nt(xlo_ref[:, i * 128:(i + 1) * 128], wlo)
-                    acc += _dot_nt(xhi_ref[:, i * 128:(i + 1) * 128], whi)
-                out_ref[:, pl.ds(ci * tn + r0, 128)] = acc
+            wait(slot, ci)
+            rows = pl.ds(ci * tn, tn)
+            # hoisted ONCE per chunk (dynamic loads cost ~1 us each)
+            qsl = qs_s[slot]
+            scm_c = (scm_ref[rows, :] if scm_resident
+                     else scm_s[slot]).astype(jnp.int32).astype(jnp.float32)
+            dd_c = dd_ref[rows, :]
+
+            # unpack into persistent bf16 scratch in 256-row sub-tiles
+            # (full-chunk temps blow Mosaic's unrolled-liveness stack);
+            # nibbles are exact in bf16, the unpack itself measured free
+            for r0 in range(0, tn, 256):
+                q = qsl[r0:r0 + 256, :].astype(jnp.int32)
+                lo_s[r0:r0 + 256, :] = (q & 0xF).astype(jnp.bfloat16)
+                hi_s[r0:r0 + 256, :] = (q >> 4).astype(jnp.bfloat16)
+
+            # per-(row, group) partial sums: ONE big MXU dot per half
+            s_lo = _dot_nt_default(lo_s[...], xbt_lo_ref[...])   # (tn, G)
+            s_hi = _dot_nt_default(hi_s[...], xbt_hi_ref[...])
+
+            # scale selection rides the MXU too: sel (2G, kt*16) picks
+            # [sc_even | sc_odd]; seld (G, kt*2) expands d per group.
+            # (the dmin/mm term never touches qs, so the WRAPPER computes
+            # it in XLA from the premultiplied scale arrays and subtracts
+            # it outside — two fewer in-kernel dots per chunk)
+            sc = _dot_nt_default(scm_c, sel_ref[...])            # (tn, 2G)
+            d4 = _dot_nt(dd_c, seld_ref[...])                    # (tn, G)
+            acc = d4 * (sc[:, 0:G] * s_lo + sc[:, G:] * s_hi)
+            # group-reduction + transpose via the MXU ((tn,1) VMEM writes
+            # lane-pad 128x)
+            out_ref[pl.ds(ci, 1), :] = _dot_nt(ones_g, acc)
             return 0
 
         jax.lax.fori_loop(0, num_chunks, loop, 0)
@@ -272,36 +313,102 @@ def _q4k_pipe_kernel(xlo_ref, xhi_ref, scm_ref, dd_ref, qs_hbm, out_ref, *,
     pl.run_scoped(
         body,
         qs_s=pltpu.VMEM((slots, tn, kt * 128), jnp.uint8),
-        sem=pltpu.SemaphoreType.DMA((slots,)))
+        scm_s=pltpu.VMEM((1 if scm_resident else slots, tn, kt * 16),
+                         jnp.uint8),
+        lo_s=pltpu.VMEM((tn, kt * 128), jnp.bfloat16),
+        hi_s=pltpu.VMEM((tn, kt * 128), jnp.bfloat16),
+        sem=pltpu.SemaphoreType.DMA((slots,)),
+        sem2=pltpu.SemaphoreType.DMA((slots,)))
+
+
+@functools.lru_cache(maxsize=32)
+def _q4k_pipe_consts(kt: int):
+    """Selection matrices (numpy; passed as arguments so they upload once
+    per shape, not per call) + group one-hot for the block-diagonal x."""
+    import numpy as _np
+
+    G = kt * 4
+    # sel: (2G, kt*16) — scm column sb*16+{0..8} → [sc_even | sc_odd]
+    sel = _np.zeros((2 * G, kt * 16), _np.float32)
+    for sb in range(kt):
+        for g in range(4):
+            sel[sb * 4 + g, sb * 16 + g] = 1            # sc_even
+            sel[G + sb * 4 + g, sb * 16 + 4 + g] = 1    # sc_odd
+    # seld: (G, kt*2) — d expanded per group
+    seld = _np.zeros((G, kt * 2), _np.float32)
+    for sb in range(kt):
+        for g in range(4):
+            seld[sb * 4 + g, 2 * sb] = 1
+    # group id per lane of a nibble half (kernel element order: lane
+    # l = i*128 + 4*j + g_half… group of element = its 32-block)
+    gid = _np.arange(kt * 128) // 128 * 4 + (_np.arange(kt * 128) % 4)
+    onehot = (gid[None, :] == _np.arange(G)[:, None])
+    return sel, seld, onehot.astype(_np.float32)
 
 
 def qmm_q4_K_pipelined(x, qs_k, scm, dd, slots: int = 3):
-    """Decode-shaped (small M) Q4_K matmul streaming wire-density bytes
-    through the manual DMA pipeline. Bit-identical math to qmm_q4_K."""
+    """Single-stream (M=1) Q4_K decode matmul at wire density through the
+    manual DMA pipeline + two-level MXU dot. Returns (1, N) f32.
+
+    NOT bit-identical to qmm_q4_K: x rides the main dots in bf16 (the
+    nibbles are exact; relative error ≈ 2e-3, inside the reference's 0.02
+    dot-error budget) — enforced by tests/test_qmm_int8.py and the bench
+    quality gate."""
     m, kdim = x.shape
+    assert m == 1, "pipelined decode kernel is single-stream"
     n = qs_k.shape[0]
     kt = kdim // 256
+    G = kt * 4
     assert qs_k.shape[1] == kt * 128, (x.shape, qs_k.shape)
+    sel_np, seld_np, onehot_np = _q4k_pipe_consts(kt)
+    sel = jnp.asarray(sel_np)
+    seld = jnp.asarray(seld_np)
+    onehot = jnp.asarray(onehot_np)
+
     xlo, xhi = q4k_split_x(x.astype(jnp.float32))
-    tn = _pipe_tn(n, kt * 128)
-    # VMEM budget: resident scm+dd (n·kt·24 B) + slots·tn·kt·128 qs chunks
-    resident = n * kt * 24
-    if resident > 8 << 20:
-        slots = 2
+    xbt_lo = (onehot * xlo[0][None, :]).astype(jnp.bfloat16)   # (G, K/2)
+    xbt_hi = (onehot * xhi[0][None, :]).astype(jnp.bfloat16)
+    xs_lo = xlo[0] @ onehot.T                                  # group sums
+    xs_hi = xhi[0] @ onehot.T
+    # the dmin/mm term never touches qs — compute it here from the
+    # premultiplied scale arrays (XLA streams scm+dd once more, ~0.5 bpw)
+    _, _, dmlo, dmhi = q4k_scale_arrays(scm, dd)
+    min_vec = dmlo @ xs_lo + dmhi @ xs_hi                      # (n,)
+
+    row_qs = kt * 128
+    scm_resident = (kt * 16) % 128 != 0
+    tn = _pipe_tn(n, row_qs, want=2 << 20)
+    budget = 13 << 20
+    resident = n * kt * (16 if scm_resident else 0) + n * kt * 8
+    while True:
+        work = (slots * tn * row_qs
+                + (0 if scm_resident else slots * tn * kt * 16)
+                + 2 * tn * row_qs * 2          # lo/hi bf16 scratch
+                + 2 * G * row_qs * 2           # XbT halves
+                + tn * 2 * G * 4 + resident)
+        if work <= budget or tn == 128:
+            break
+        tn //= 2
     slots = max(2, min(slots, n // tn))
-    return pl.pallas_call(
-        functools.partial(_q4k_pipe_kernel, kt=kt, tn=tn, slots=slots),
+
+    out = pl.pallas_call(
+        functools.partial(_q4k_pipe_kernel, kt=kt, tn=tn, slots=slots,
+                          scm_resident=scm_resident),
         in_specs=[
-            pl.BlockSpec((m, kt * 128), lambda: (0, 0)),
-            pl.BlockSpec((m, kt * 128), lambda: (0, 0)),
-            pl.BlockSpec((n, kt * 16), lambda: (0, 0)),
+            pl.BlockSpec((G, row_qs), lambda: (0, 0)),
+            pl.BlockSpec((G, row_qs), lambda: (0, 0)),
+            (pl.BlockSpec((n, kt * 16), lambda: (0, 0)) if scm_resident
+             else pl.BlockSpec(memory_space=pltpu.ANY)),
             pl.BlockSpec((n, kt * 2), lambda: (0, 0)),
+            pl.BlockSpec((2 * G, kt * 16), lambda: (0, 0)),
+            pl.BlockSpec((G, kt * 2), lambda: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((m, n), lambda: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        out_specs=pl.BlockSpec((n // tn, tn), lambda: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n // tn, tn), jnp.float32),
         interpret=_interpret(),
-    )(xlo, xhi, scm, dd, qs_k)
+    )(xbt_lo, xbt_hi, scm, dd, sel, seld, qs_k)
+    return out.reshape(1, n) - min_vec[None, :]
 
 
 # ---------------------------------------------------------------- Q8_0

@@ -108,11 +108,15 @@ register("weights_layout", "kernel",
          "segmented integer dots — the fast decode path on runtimes where "
          "Pallas DMA underperforms XLA fusions), or 'auto' (measure both "
          "once per process and pick — utils/autotune.py)")
-register("qmm_pipeline", "auto",
+register("qmm_pipeline", "off",
          "decode matvecs through the manual-DMA pipelined Pallas kernels "
-         "(single grid step, wire-density streaming — r03 measured "
-         "692-819 GB/s where the outer grid managed ~175): 'auto' (TPU "
-         "compiled path only), 'on', 'off'")
+         "(wire-density streaming, ops/pallas/qmm.py::qmm_q4_K_pipelined)."
+         " r03 measured per-call 386-413 GB/s of 4.75 bpw wire on aligned"
+         " shapes — per-byte competitive — but 0.46x the int8-XLA path on"
+         " the full decode step (per-call fixed costs + the K%2048!=0 "
+         "variant; docs/PERFORMANCE.md). 'on' enables it on TPU (bare-"
+         "metal runtimes without the tunnel's dispatch costs should "
+         "re-measure); 'auto' currently equals 'on' for m==1 TPU matvecs")
 register("attn_impl", "pallas",
          "causal attention implementation: 'pallas' (fused flash kernel) "
          "or 'xla' (reference path — faster on runtimes where Pallas DMA "

@@ -125,9 +125,11 @@ def test_int8_layout_batched_shapes():
 
 
 def test_pipelined_q4k_matches_outer_grid():
-    """Manual-DMA pipelined decode kernel (qmm_q4_K_pipelined) vs the
-    outer-grid kernel: same math per superblock (interpret mode here;
-    compiled parity is asserted on hardware by scripts/exp_pipe_model.py)."""
+    """Manual-DMA pipelined decode kernel (qmm_q4_K_pipelined, two-level
+    MXU dot, x in bf16) vs the outer-grid kernel: x's bf16 truncation
+    bounds the difference (~2e-3 relative → nmse ~5e-6), far inside the
+    reference's 0.02 dot-error budget (tests/test-quantize-fns.cpp:23).
+    Covers both the scm-chunked (K%2048==0) and scm-resident variants."""
     import numpy as np
     import jax.numpy as jnp
     from ggml_gfx906_tpu.ops.pallas import qmm
@@ -135,12 +137,12 @@ def test_pipelined_q4k_matches_outer_grid():
     from ggml_gfx906_tpu.quant.types import GGMLType
 
     rng = np.random.default_rng(5)
-    for n, k, m in [(512, 512, 1), (384, 1024, 8), (256, 2816, 4)]:
+    for n, k in [(512, 2048), (384, 1024), (256, 2816), (1024, 4096)]:
         w = (rng.standard_normal((n, k)) * 0.05).astype(np.float32)
         f = QuantTensor.quantize(GGMLType.Q4_K, w).fields
-        x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((1, k)).astype(np.float32))
         ref = np.asarray(qmm.qmm_q4_K(x, f["qs"], f["scm"], f["dd"]))
         out = np.asarray(qmm.qmm_q4_K_pipelined(x, f["qs"], f["scm"],
                                                 f["dd"]))
         nmse = ((out - ref) ** 2).mean() / (ref ** 2).mean()
-        assert nmse < 1e-11, (n, k, m, nmse)
+        assert nmse < 5e-5, (n, k, nmse)
