@@ -9,6 +9,7 @@ Run on the real TPU.
 """
 from __future__ import annotations
 
+import functools
 import sys
 import time
 
@@ -84,10 +85,15 @@ def main():
         pos_holder[0] += 1
         return (t, kv)
 
-    t_single = timed_chain("single-stream           ", step1, (tok, kv1))
+    import os
+    if os.environ.get("SKIP12"):
+        t_single = None
+    else:
+        t_single = timed_chain("single-stream           ", step1,
+                               (tok, kv1))
 
     # 2. batched forward only (B=8, window 256, greedy argmax in-program)
-    for kv_quant in (False, True):
+    for kv_quant in (() if os.environ.get("SKIP12") else (False, True)):
         kvb = BatchedKVCache.create(cfg.n_layer, B, max_seq, cfg.n_kv_head,
                                     cfg.head_dim, dtype=cfg.compute_dtype,
                                     quant=kv_quant)
@@ -95,29 +101,36 @@ def main():
         kvb = kvb.with_lengths(lens0)
         toks = jnp.asarray(rng.integers(1, 1000, B).astype(np.int32))
 
-        @jax.jit
-        def fwd_only(toks, kv):
-            logits, kv = llama.forward_batch(cfg, p8, toks[:, None], kv,
+        @functools.partial(jax.jit, donate_argnums=2)
+        def fwd_only(p, toks, kv):
+            # params as ARGUMENT: a 1.77 GB closure becomes program
+            # constants — the compile helper never returns
+            logits, kv = llama.forward_batch(cfg, p, toks[:, None], kv,
                                              kv.lengths, attn_window=256)
             nxt = jnp.argmax(logits[:, 0, :], axis=-1).astype(jnp.int32)
             return nxt, kv.with_lengths(kv.lengths + 1)
 
         t_fwd = timed_chain(
             f"B=8 fwd+argmax kv_quant={int(kv_quant)}", lambda c:
-            fwd_only(c[0], c[1]), (toks, kvb))
+            fwd_only(p8, c[0], c[1])[:2], (toks, kvb))
 
     # 3. batched forward + full sampling pipeline (the engine's program)
     kvb = BatchedKVCache.create(cfg.n_layer, B, max_seq, cfg.n_kv_head,
                                 cfg.head_dim, dtype=cfg.compute_dtype)
-    kvb = kvb.with_lengths(lens0)
-    seeds = jnp.asarray(rng.integers(0, 1 << 30, B).astype(np.int32))
-    temps = jnp.full((B,), 0.8, jnp.float32)
-    tks = jnp.full((B,), 40, jnp.int32)
-    tps = jnp.full((B,), 0.9, jnp.float32)
+    # lens0 was donated away inside the kv_quant loop — fresh copies
+    kvb = kvb.with_lengths(jnp.asarray(
+        rng.integers(60, 200, B).astype(np.int32)))
+    toks = jnp.asarray(rng.integers(1, 1000, B).astype(np.int32))
+    # np (not jnp): closure DEVICE arrays re-upload per call on this
+    # runtime; np closures embed as program literals
+    seeds = rng.integers(0, 1 << 30, B).astype(np.int32)
+    temps = np.full((B,), 0.8, np.float32)
+    tks = np.full((B,), 40, np.int32)
+    tps = np.full((B,), 0.9, np.float32)
 
-    @jax.jit
-    def fwd_sample(toks, kv, ctr):
-        logits, kv = llama.forward_batch(cfg, p8, toks[:, None], kv,
+    @functools.partial(jax.jit, donate_argnums=2)
+    def fwd_sample(p, toks, kv, ctr):
+        logits, kv = llama.forward_batch(cfg, p, toks[:, None], kv,
                                          kv.lengths, attn_window=256)
         keys = jax.vmap(lambda s, c: jax.random.fold_in(
             jax.random.PRNGKey(s), c))(seeds, ctr)
@@ -125,8 +138,49 @@ def main():
         return nxt, kv.with_lengths(kv.lengths + 1), ctr + 1
 
     t_samp = timed_chain("B=8 fwd+top-k sampling  ", lambda c:
-                         fwd_sample(c[0], c[1], c[2]),
+                         fwd_sample(p8, c[0], c[1], c[2]),
                          (toks, kvb, jnp.zeros(B, jnp.int32)))
+
+    # 3b. HOST enqueue rate of the batched program (no sync): if the
+    # per-dispatch marshaling of the ~600-buffer params pytree exceeds
+    # the device step, the ENGINE is host-bound — the r02 18.5 ms mystery
+    kvb2 = BatchedKVCache.create(cfg.n_layer, B, max_seq, cfg.n_kv_head,
+                                 cfg.head_dim, dtype=cfg.compute_dtype)
+    kvb2 = kvb2.with_lengths(jnp.asarray(
+        rng.integers(60, 200, B).astype(np.int32)))
+    t0 = time.time()
+    c = (jnp.asarray(rng.integers(1, 1000, B).astype(np.int32)), kvb2,
+         jnp.zeros(B, jnp.int32))
+    for _ in range(64):
+        c = fwd_sample(p8, c[0], c[1], c[2])
+    t_enq = (time.time() - t0) / 64
+    device_sync(c[0])
+    print(f"B=8 enqueue-only rate   : {t_enq*1e3:7.3f} ms/dispatch",
+          flush=True)
+
+    # 3c. two decode steps unrolled in ONE program (halves dispatches)
+    @functools.partial(jax.jit, donate_argnums=2)
+    def fwd_sample2(p, toks, kv, ctr):
+        outs = []
+        for _ in range(2):
+            logits, kv = llama.forward_batch(cfg, p, toks[:, None], kv,
+                                             kv.lengths, attn_window=256)
+            keys = jax.vmap(lambda s, c: jax.random.fold_in(
+                jax.random.PRNGKey(s), c))(jnp.asarray(seeds), ctr)
+            toks = sample_batch(logits[:, 0, :], keys, jnp.asarray(temps),
+                                jnp.asarray(tks), jnp.asarray(tps))
+            kv = kv.with_lengths(kv.lengths + 1)
+            ctr = ctr + 1
+            outs.append(toks)
+        return jnp.stack(outs), toks, kv, ctr
+
+    def step2(c):
+        outs, t, kv, ctr = fwd_sample2(p8, c[0], c[1], c[2])
+        return (t, kv, ctr)
+
+    t_2 = timed_chain("B=8 2-step-unrolled     ", step2,
+                      (c[0], c[1], c[2]))
+    print(f"  → per decode step     : {t_2/2*1e3:7.3f} ms", flush=True)
 
     # 4. sampling alone (isolated)
     logits_s = jnp.asarray(rng.standard_normal(
@@ -134,7 +188,8 @@ def main():
     from ggml_gfx906_tpu.utils.perf import _time_fn
     t_s = _time_fn(lambda lg: sample_batch(
         lg, jax.vmap(jax.random.PRNGKey)(jnp.arange(B, dtype=jnp.uint32)),
-        temps, tks, tps), logits_s, iters=16, rounds=2)
+        jnp.asarray(temps), jnp.asarray(tks), jnp.asarray(tps)),
+        logits_s, iters=16, rounds=2)
     print(f"sampling alone          : {t_s*1e3:7.3f} ms", flush=True)
 
 
