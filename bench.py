@@ -236,27 +236,39 @@ def bench_llama7b():
     # aggregate serving throughput: the continuous-batching engine with 8
     # slots (chunked prefill + batched sampled decode in one program per
     # step; per-step host fetch included — the production serving number)
-    note("engine throughput...")
+    note("engine throughput (b=8/16/32 sweep)...")
     from ggml_gfx906_tpu.runtime.engine import Engine
 
-    eng = Engine(llama, cfg, params, max_batch=8, max_seq=max_seq)
     rng2 = np.random.default_rng(1)
     n_new = 128
-    # warm-up: one full-length request compiles the prefill bucket, the
-    # slot install, and the decode+sample program for EVERY attention-
-    # window bucket the timed run will cross (32..256 at these lengths)
-    # — compilation costs tens of seconds each on this host and must not
-    # land in the timed run
-    eng.submit(rng2.integers(1, 1000, 24).tolist(), n_new)
-    eng.run()
-    for _ in range(8):
+
+    def engine_run(b, seq):
+        # r03 profiling (scripts/exp_engine_profile.py): the batched step
+        # costs only ~8% over single-stream, in-program top-k sampling is
+        # free, and per-window fetch round trips amortize — so aggregate
+        # throughput scales with slot count until KV HBM caps it. b=16/32
+        # use max_seq=256 (requests are 24+128 tokens; the dense 32-slot
+        # 1024-seq slab would not fit beside the weights).
+        eng = Engine(llama, cfg, params, max_batch=b, max_seq=seq)
+        # warm-up: one full-length request compiles the prefill bucket,
+        # the slot install, and the decode+sample program for EVERY
+        # attention-window bucket the timed run will cross — compiles
+        # cost tens of seconds each here and must not land in the run
         eng.submit(rng2.integers(1, 1000, 24).tolist(), n_new)
-    t0 = time.time()
-    done = eng.run()
-    eng_dt = time.time() - t0
-    eng_tokens = sum(len(r.out) for r in done)
-    engine_tok_s = eng_tokens / eng_dt
-    del eng
+        eng.run()
+        for _ in range(b):
+            eng.submit(rng2.integers(1, 1000, 24).tolist(), n_new)
+        t0 = time.time()
+        done = eng.run()
+        dt = time.time() - t0
+        toks = sum(len(r.out) for r in done)
+        note(f"  b={b}: {toks/dt:.1f} tok/s")
+        del eng
+        return toks / dt
+
+    engine_tok_s = engine_run(8, max_seq)
+    engine_tok_s_b16 = engine_run(16, 256)
+    engine_tok_s_b32 = engine_run(32, 256)
 
     # HBM bandwidth measured IN-RUN (chained-dependence probe — constants,
     # fused identical reads, and host-data transfers all mismeasure; see
@@ -276,6 +288,8 @@ def bench_llama7b():
         "vs_baseline": round(toks_s / BASELINE_TOKS, 3),
         "prefill_tok_s": round(pre_s, 1),
         "engine_tok_s_b8": round(engine_tok_s, 1),
+        "engine_tok_s_b16": round(engine_tok_s_b16, 1),
+        "engine_tok_s_b32": round(engine_tok_s_b32, 1),
         "pct_hbm_roofline": round(100 * toks_s / roofline, 1),
         "measured_hbm_gbs": round(bw / 1e9, 0),
         "weight_bytes": wbytes,
