@@ -242,22 +242,26 @@ def bench_llama7b():
     rng2 = np.random.default_rng(1)
     n_new = 128
 
-    def engine_run(b, seq):
+    def engine_run(b, seq, new):
         # r03 profiling (scripts/exp_engine_profile.py): the batched step
-        # costs only ~8% over single-stream, in-program top-k sampling is
-        # free, and per-window fetch round trips amortize — so aggregate
-        # throughput scales with slot count until KV HBM caps it. b=16/32
-        # use max_seq=256 (requests are 24+128 tokens; the dense 32-slot
-        # 1024-seq slab would not fit beside the weights).
+        # costs only ~8% over single-stream and in-program top-k sampling
+        # is free, so aggregate throughput scales with slot count until
+        # the (MHA) KV read dominates — at b=32/window 256 the cache
+        # stream is ~2x the weight stream; that is physics, not overhead.
+        # b=16/32 run max_seq=256 (the dense 32-slot 1024-seq slab OOMs
+        # beside the weights) and longer generations (the b-slot
+        # admission ramp amortizes; serving runs are long-lived).
+        # kv_quant LOSES here: XLA materializes the dequantized cache, so
+        # int8 KV reads become write+read — measured 419 vs 565 tok/s.
         eng = Engine(llama, cfg, params, max_batch=b, max_seq=seq)
         # warm-up: one full-length request compiles the prefill bucket,
         # the slot install, and the decode+sample program for EVERY
         # attention-window bucket the timed run will cross — compiles
         # cost tens of seconds each here and must not land in the run
-        eng.submit(rng2.integers(1, 1000, 24).tolist(), n_new)
+        eng.submit(rng2.integers(1, 1000, 24).tolist(), new)
         eng.run()
         for _ in range(b):
-            eng.submit(rng2.integers(1, 1000, 24).tolist(), n_new)
+            eng.submit(rng2.integers(1, 1000, 24).tolist(), new)
         t0 = time.time()
         done = eng.run()
         dt = time.time() - t0
@@ -266,9 +270,9 @@ def bench_llama7b():
         del eng
         return toks / dt
 
-    engine_tok_s = engine_run(8, max_seq)
-    engine_tok_s_b16 = engine_run(16, 256)
-    engine_tok_s_b32 = engine_run(32, 256)
+    engine_tok_s = engine_run(8, max_seq, n_new)
+    engine_tok_s_b16 = engine_run(16, 256, 200)
+    engine_tok_s_b32 = engine_run(32, 256, 200)
 
     # HBM bandwidth measured IN-RUN (chained-dependence probe — constants,
     # fused identical reads, and host-data transfers all mismeasure; see
