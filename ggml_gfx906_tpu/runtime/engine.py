@@ -305,9 +305,22 @@ class Engine:
         return None
 
     def _advance_admission(self):
-        """Process at most ONE prefill chunk per engine step (chunked
-        admission: active slots keep decoding between chunks, ref
-        main-batched.cpp:407-430's interleaved batch building)."""
+        """Admission pacing: ONE prefill chunk per engine step at healthy
+        occupancy (active slots keep decoding between chunks, ref
+        main-batched.cpp:407-430's interleaved batch building), but RAMP
+        MODE below half occupancy — several chunks per step, because
+        filling 32 slots one-per-step costs a 32-step ramp at partial
+        occupancy (~6% of a 200-token serving run, measured r03)."""
+        for _ in range(8):
+            self._advance_admission_once()
+            occ = sum(s is not None for s in self.slots)
+            if occ * 2 >= self.max_batch:
+                break
+            if self.pending is None and not self.queue:
+                break
+
+    def _advance_admission_once(self):
+        """Process at most ONE prefill chunk."""
         if self.pending is None:
             if not self.queue or self._free_slot() is None:
                 return
