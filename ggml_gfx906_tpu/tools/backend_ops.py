@@ -659,7 +659,32 @@ def mode_support() -> int:
 
     print(f"\nattn_impl={config.get('attn_impl')} "
           f"weights_layout={config.get('weights_layout')} "
-          f"int8_min_m={config.get('int8_min_m')}")
+          f"int8_min_m={config.get('int8_min_m')} "
+          f"qmm_pipeline={config.get('qmm_pipeline')}")
+
+    # dispatch matrix: which kernel actually serves a (type, M) matmul
+    # in each execution layout (the scheduler-decision analogue of ggml's
+    # supports_op report; thresholds from ops/pallas/dispatch.py)
+    from ..ops.pallas.dispatch import PIPELINE_TYPES, _use_pipeline
+    from ..ops.quantized import QuantTensor
+
+    min_m = int(config.get("int8_min_m"))
+    ms = [1, 8, 64, 512]
+    print(f"\ndispatch at M (kernel layout):  "
+          + "".join(f"{('M=' + str(m)):>12s}" for m in ms))
+    for qt in sorted(KERNEL_TYPES, key=lambda t: t.name):
+        probe = QuantTensor(qt, (4096, 4096), {}, "kernel")
+        row = []
+        for m in ms:
+            if qt in PIPELINE_TYPES and _use_pipeline(m, probe):
+                row.append("pipelined")
+            elif qt in INT8_TYPES and min_m > 0 and m >= min_m:
+                row.append("int-MXU")
+            else:
+                row.append("fused-f32")
+        print(f"{qt.name:30s} " + "".join(f"{r:>12s}" for r in row))
+    print("int8 execution layout: XLA segmented int8 dot at every M;"
+          "\nnon-kernel formats: XLA dequant-then-dot fallback")
     return 0
 
 
