@@ -98,6 +98,7 @@ class Engine:
         # int8 K/V with per-(slot, head, position) scales (ref quantized-KV
         # fattn instances, fattn.cu:180-270) — config "kv_quant"
         self.kv_quant = bool(config.get("kv_quant"))
+        self._scan_window = bool(config.get("engine_scan_window"))
         kvh = getattr(cfg, "n_kv_head", None) or cfg.n_head
         self.paged = paged_pages is not None
         if self.paged:
@@ -160,10 +161,8 @@ class Engine:
         mm, c = self.m, self.cfg
 
         if mesh is None:
-            @functools.partial(jax.jit, donate_argnums=(1, 5),
-                               static_argnums=9)
-            def _decode_step(params, kv, toks, active, seeds, counters,
-                             temps, top_ks, top_ps, window):
+            def _step_body(params, kv, toks, active, seeds, counters,
+                           temps, top_ks, top_ps, window):
                 logits, kv = mm.forward_batch(c, params, toks[:, None], kv,
                                               kv.lengths, attn_window=window)
                 keys = jax.vmap(
@@ -173,6 +172,33 @@ class Engine:
                                    top_ps)
                 new_len = kv.lengths + active.astype(jnp.int32)
                 return nxt, counters + 1, kv.with_lengths(new_len)
+
+            _decode_step = functools.partial(
+                jax.jit, donate_argnums=(1, 5), static_argnums=9)(_step_body)
+
+            # a whole harvest window in ONE device program (lax.scan over
+            # the decode step) — the TPU analogue of the reference's
+            # CUDA-graph capture (ggml_backend_cuda_graph_compute,
+            # src/ggml-cuda/ggml-cuda.cu:2962): per-step host dispatch cost
+            # (2-4 ms of params-pytree marshaling on the tunnel runtime)
+            # is paid once per window instead of once per token, and the
+            # window's token stack is produced in-program
+            @functools.partial(jax.jit, donate_argnums=(1, 5),
+                               static_argnums=(9, 10))
+            def _decode_window(params, kv, toks, active, seeds, counters,
+                               temps, top_ks, top_ps, window, depth):
+                def body(carry, _):
+                    toks, counters, kv = carry
+                    nxt, counters, kv = _step_body(
+                        params, kv, toks, active, seeds, counters,
+                        temps, top_ks, top_ps, window)
+                    return (nxt, counters, kv), nxt
+
+                (toks, counters, kv), out = jax.lax.scan(
+                    body, (toks, counters, kv), None, length=depth)
+                return out, toks, counters, kv
+
+            self._decode_window_jit = _decode_window
 
             @functools.partial(jax.jit, donate_argnums=2)
             def _prefill_chunk(params, toks, kv_single, start):
@@ -208,6 +234,8 @@ class Engine:
 
             def _prefill_chunk(params, toks, kv_single, start):
                 return tp_forward(mesh, c, params, toks, kv_single, start)
+
+            self._decode_window_jit = None
 
         self._decode_step = _decode_step
         self._prefill_chunk = _prefill_chunk
@@ -415,11 +443,11 @@ class Engine:
                 self.kv = self.kv.with_page_table(
                     self._reset_pt_row(self.kv.page_table, jnp.int32(b)))
 
-    def _ensure_pages(self, active):
-        """Grow page tables so this dispatch's write position (host_len[b],
-        the pre-increment length) has a page. Host-side and deterministic;
-        one small device scatter only on the steps where a slot crosses a
-        page boundary (every page_size steps)."""
+    def _ensure_pages(self, active, lookahead: int = 1):
+        """Grow page tables so this dispatch's write positions (host_len[b]
+        .. host_len[b]+lookahead-1, pre-increment) have pages. Host-side and
+        deterministic; one small device scatter only on the steps where a
+        slot crosses a page boundary (every page_size steps)."""
         ps = self.page_size
         ups = []
         for b in np.nonzero(active)[0]:
@@ -429,7 +457,7 @@ class Engine:
             # unallocated page-table tail — they must not consume pages
             r = self.slots[b]
             cap = min(len(r.prompt) + r.max_new_tokens, self.max_seq) - 1
-            need = min(int(self.host_len[b]), cap) // ps + 1
+            need = min(int(self.host_len[b]) + lookahead - 1, cap) // ps + 1
             while len(self._slot_pages[b]) < need:
                 if not self._free_pages:
                     raise RuntimeError("paged KV pool exhausted mid-decode "
@@ -442,6 +470,23 @@ class Engine:
             self.kv = self.kv.with_page_table(self._set_pt(
                 self.kv.page_table, jnp.asarray(bs), jnp.asarray(idxs),
                 jnp.asarray(pgs)))
+
+    def _upload_state(self, active):
+        if not self._state_dirty:
+            return
+        # .copy() snapshots are load-bearing: dispatch is ASYNC and
+        # jnp.asarray can zero-copy alias host numpy memory (CPU
+        # backend), so uploading the live arrays races with the
+        # `counters += 1` / admission mutations — observed as
+        # nondeterministic sampling keys until the buffers were
+        # snapshotted
+        self._active_dev = jnp.asarray(active)
+        self._seeds_dev = jnp.asarray(self.seeds.copy())
+        self._ctr_dev = jnp.asarray(self.counters.copy())
+        self._temps_dev = jnp.asarray(self.temps.copy())
+        self._top_ks_dev = jnp.asarray(self.top_ks.copy())
+        self._top_ps_dev = jnp.asarray(self.top_ps.copy())
+        self._state_dirty = False
 
     def _dispatch(self):
         """Enqueue one batched decode step (NO host sync) chained through
@@ -457,20 +502,7 @@ class Engine:
         # the HBM reads for the padded tail of the max_seq cache
         window = min(self.max_seq,
                      _bucket(int(self.host_len[active].max()) + 1))
-        if self._state_dirty:
-            # .copy() snapshots are load-bearing: dispatch is ASYNC and
-            # jnp.asarray can zero-copy alias host numpy memory (CPU
-            # backend), so uploading the live arrays races with the
-            # `counters += 1` / admission mutations — observed as
-            # nondeterministic sampling keys until the buffers were
-            # snapshotted
-            self._active_dev = jnp.asarray(active)
-            self._seeds_dev = jnp.asarray(self.seeds.copy())
-            self._ctr_dev = jnp.asarray(self.counters.copy())
-            self._temps_dev = jnp.asarray(self.temps.copy())
-            self._top_ks_dev = jnp.asarray(self.top_ks.copy())
-            self._top_ps_dev = jnp.asarray(self.top_ps.copy())
-            self._state_dirty = False
+        self._upload_state(active)
         nxt, self._ctr_dev, self.kv = self._decode_step(
             self.params, self.kv, self._tok_dev, self._active_dev,
             self._seeds_dev, self._ctr_dev, self._temps_dev,
@@ -514,11 +546,42 @@ class Engine:
         nxt, snap = d
         self._harvest(np.asarray(nxt)[None], [snap])
 
+    def _dispatch_scan(self, depth: int):
+        """Dispatch one `depth`-step scan-window program (see
+        _decode_window in __init__): the whole window is ONE device
+        dispatch and the token stack is produced in-program. Only called
+        when no admission work can occur mid-window, so the token streams
+        are identical to the per-step path (keys chain on (seed, counter);
+        a wider attention-window bucket only adds exactly-masked reads)."""
+        active = np.array([s is not None for s in self.slots], bool)
+        if not active.any():
+            return None
+        if self.paged:
+            self._ensure_pages(active, lookahead=depth)
+        window = min(self.max_seq,
+                     _bucket(int(self.host_len[active].max()) + depth))
+        self._upload_state(active)
+        out, nxt, self._ctr_dev, self.kv = self._decode_window_jit(
+            self.params, self.kv, self._tok_dev, self._active_dev,
+            self._seeds_dev, self._ctr_dev, self._temps_dev,
+            self._top_ks_dev, self._top_ps_dev, window, depth)
+        self._tok_dev = nxt
+        self.counters += depth
+        self.host_len += active.astype(np.int32) * depth
+        snap = [r.rid if r is not None else None for r in self.slots]
+        return out, [snap] * depth
+
     def _dispatch_window(self, depth: int):
         """Dispatch up to `depth` chained decode steps (one admission chunk
         before each); returns ((stacked_tokens_device, snapshots) | None,
         aborted_exception | None) — an abort mid-window is captured, not
         raised, so the caller can harvest the already-dispatched steps.
+
+        When no admission can happen mid-window (nothing pending, and the
+        queue is empty or no slot is free — frees only happen at harvest,
+        between windows), the window runs as ONE scan program
+        (_dispatch_scan). Otherwise the per-step path interleaves one
+        admission chunk per decode step, preserving the cadence property.
 
         The window's tokens are stacked here — before the next window's
         dispatches enter the (in-order) device queue. Enqueueing the stack
@@ -531,6 +594,15 @@ class Engine:
         until the value is ready (measured ~90 ms per window, serializing
         host and device); the harvest-side np.asarray after the next
         window's dispatch overlaps the wait instead."""
+        if (self._decode_window_jit is not None and depth > 1
+                and self._scan_window and self.pending is None
+                and not (self.queue and self._free_slot() is not None)
+                and any(s is not None for s in self.slots)):
+            try:
+                abort.check()
+            except abort.Aborted as e:
+                return None, e
+            return self._dispatch_scan(depth), None
         inflight = []
         aborted = None
         for _ in range(depth):

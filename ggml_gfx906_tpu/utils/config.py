@@ -96,6 +96,14 @@ register("engine_harvest_depth", 8,
          "dispatched, overlapping the fetch round-trip with device "
          "execution). Token streams are bit-identical to depth 1 — "
          "completed slots' in-flight extra steps are masked and discarded")
+register("engine_scan_window", True,
+         "run each harvest window as ONE lax.scan device program when no "
+         "admission can occur mid-window (the CUDA-graph-capture analogue, "
+         "ref src/ggml-cuda/ggml-cuda.cu:2962): per-window instead of "
+         "per-step host dispatch cost. Token streams stay bit-identical — "
+         "sampling keys chain on (seed, counter) and the wider attention "
+         "window only adds exactly-masked reads. False = per-step "
+         "dispatches within pipelined windows")
 register("int8_tile", 512,
          "K-tile width of the int8 execution layout (per-tile requant "
          "scale granularity). Measured on hardware (8-layer 7B-shape "
