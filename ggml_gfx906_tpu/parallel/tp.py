@@ -123,6 +123,23 @@ def _localize(params: dict) -> dict:
 
 
 def _kv_specs(kv, batched: bool):
+    from ..runtime.paged_kv import PagedKVCache
+
+    if isinstance(kv, PagedKVCache):
+        # pool axis 0 is dp groups of (pages_per_group + scratch) pages
+        # (runtime/paged_kv.py) — each data-parallel shard owns one group;
+        # heads shard over tp; page-table values are group-local so the
+        # (B, max_pages) table shards with the slots
+        def pspec(leaf):
+            if leaf.ndim == 4:          # page pool (pages, KVH, ps, D)
+                return P("dp", "tp", None, None)
+            if leaf.ndim == 3:          # quant scale pool (pages, KVH, ps)
+                return P("dp", "tp", None)
+            if leaf.ndim == 2:          # page_table (B, max_pages)
+                return P("dp", None)
+            return P("dp")              # lengths (B,)
+        return jax.tree.map(pspec, kv)
+
     def spec(leaf):
         if leaf.ndim == 4:   # (B, KVH, S, D)
             return P("dp" if batched else None, "tp", None, None)

@@ -34,27 +34,37 @@ class PagedKVCache:
     v: tuple
     k_d: tuple          # per layer: (total_pages, n_kv_head, page) or ()
     v_d: tuple
-    page_table: jax.Array   # (B, max_pages) int32 physical page ids
+    page_table: jax.Array   # (B, max_pages) int32 GROUP-LOCAL page ids
     lengths: jax.Array      # (B,) int32 valid positions per slot
     page_size: int
+    dp: int = 1             # pool groups: pool axis 0 is `dp` blocks of
+    #                         (pages_per_group + 1 scratch) pages, so a
+    #                         dp×tp mesh shards the pool on axis 0 and each
+    #                         data-parallel shard owns one group (page-table
+    #                         VALUES are group-local, identical in meaning
+    #                         on every shard). dp=1 = the single-pool case.
 
     def tree_flatten(self):
         return ((self.k, self.v, self.k_d, self.v_d, self.page_table,
-                 self.lengths), self.page_size)
+                 self.lengths), (self.page_size, self.dp))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, page_size=aux)
+        return cls(*children, page_size=aux[0], dp=aux[1])
 
     @classmethod
     def create(cls, n_layer: int, max_batch: int, max_seq: int,
                n_kv_head: int, head_dim: int, total_pages: int,
                page_size: int = 64, dtype=jnp.float32,
-               quant: bool = False) -> "PagedKVCache":
+               quant: bool = False, dp: int = 1) -> "PagedKVCache":
         assert max_seq % page_size == 0, (max_seq, page_size)
+        assert total_pages % dp == 0 and max_batch % dp == 0, \
+            (total_pages, max_batch, dp)
         max_pages = max_seq // page_size
-        # +1 scratch page (the LAST id): padded install writes land there
-        shape = (total_pages + 1, n_kv_head, page_size, head_dim)
+        ppg = total_pages // dp
+        # +1 scratch page PER GROUP (the group's LAST local id): padded
+        # install writes land there
+        shape = (dp * (ppg + 1), n_kv_head, page_size, head_dim)
         buf = jnp.zeros((2 * n_layer,) + shape,
                         jnp.int8 if quant else dtype)
         k = tuple(buf[i] for i in range(n_layer))
@@ -64,13 +74,13 @@ class PagedKVCache:
             dbuf = jnp.zeros((2 * n_layer,) + shape[:3], jnp.float32)
             kd = tuple(dbuf[i] for i in range(n_layer))
             vd = tuple(dbuf[n_layer + i] for i in range(n_layer))
-        # every page-table entry starts at the SCRATCH page (last id):
-        # inactive slots still issue masked decode writes at position 0,
-        # and a real-page id there would corrupt another slot's data. The
-        # engine must likewise reset a freed slot's row to the scratch id.
-        pt = jnp.full((max_batch, max_pages), total_pages, jnp.int32)
+        # every page-table entry starts at the SCRATCH page (local last
+        # id): inactive slots still issue masked decode writes at position
+        # 0, and a real-page id there would corrupt another slot's data.
+        # The engine must likewise reset a freed slot's row to scratch.
+        pt = jnp.full((max_batch, max_pages), ppg, jnp.int32)
         return cls(k, v, kd, vd, pt,
-                   jnp.zeros((max_batch,), jnp.int32), page_size)
+                   jnp.zeros((max_batch,), jnp.int32), page_size, dp)
 
     # -- BatchedKVCache-compatible surface ---------------------------------
 
@@ -87,20 +97,34 @@ class PagedKVCache:
         return self.page_table.shape[1] * self.page_size
 
     @property
+    def pages_per_group(self) -> int:
+        return self.k[0].shape[0] // self.dp - 1   # excluding scratch
+
+    @property
     def total_pages(self) -> int:
-        return self.k[0].shape[0] - 1     # excluding the scratch page
+        return self.dp * self.pages_per_group      # usable (non-scratch)
 
     @property
     def scratch_page(self) -> int:
-        return self.k[0].shape[0] - 1
+        """GROUP-LOCAL scratch id (= pages_per_group); the global pool
+        index of group g's scratch is group_base(g) + scratch_page."""
+        return self.pages_per_group
+
+    def group_base(self, g: int) -> int:
+        """Global pool index of group g's first page (host-side helper:
+        install writes outside shard_map address the GLOBAL pool while
+        page-table values stay group-local)."""
+        return g * (self.pages_per_group + 1)
 
     def with_lengths(self, lengths) -> "PagedKVCache":
         return PagedKVCache(self.k, self.v, self.k_d, self.v_d,
-                            self.page_table, lengths, self.page_size)
+                            self.page_table, lengths, self.page_size,
+                            self.dp)
 
     def with_page_table(self, page_table) -> "PagedKVCache":
         return PagedKVCache(self.k, self.v, self.k_d, self.v_d,
-                            page_table, self.lengths, self.page_size)
+                            page_table, self.lengths, self.page_size,
+                            self.dp)
 
     def layer_kv(self, layer: int, window: int | None = None):
         """Materialize the windowed dense (B, H, W, D) view by page gather.
@@ -156,16 +180,19 @@ class PagedKVCache:
         return PagedKVCache(
             self.k[:layer] + (k_l,) + self.k[layer + 1:],
             self.v[:layer] + (v_l,) + self.v[layer + 1:],
-            kd, vd, self.page_table, self.lengths, self.page_size)
+            kd, vd, self.page_table, self.lengths, self.page_size, self.dp)
 
     def set_slot(self, b, pages: jax.Array, k_slot: tuple, v_slot: tuple,
-                 length, k_d: tuple = (), v_d: tuple = ()) -> "PagedKVCache":
+                 length, k_d: tuple = (), v_d: tuple = (),
+                 page_base=0) -> "PagedKVCache":
         """Install a prefilled single-sequence cache into slot b.
 
-        pages: (n_pages,) int32 physical ids (host-allocated; padded
-        entries point at the scratch page). k_slot/v_slot per layer
-        (H, S>=n_pages*page, D); k_d/v_d per layer (H, S) when quantized.
-        Also writes the page-table row prefix and the slot length."""
+        pages: (n_pages,) int32 GLOBAL pool ids (host-allocated; padded
+        entries point at the slot's group scratch page). k_slot/v_slot per
+        layer (H, S>=n_pages*page, D); k_d/v_d per layer (H, S) when
+        quantized. Writes the page-table row prefix as GROUP-LOCAL ids
+        (pages - page_base; page_base = group_base(slot's group), 0 when
+        dp == 1) and the slot length."""
         ps = self.page_size
         n = pages.shape[0]
 
@@ -189,7 +216,8 @@ class PagedKVCache:
             vd = tuple(pool.at[pages].set(chunks_d(t))
                        for pool, t in zip(vd, v_d))
         pt = jax.lax.dynamic_update_slice(
-            self.page_table, pages[None].astype(jnp.int32),
+            self.page_table, (pages - page_base)[None].astype(jnp.int32),
             (b, 0))
         return PagedKVCache(k, v, kd, vd, pt,
-                            self.lengths.at[b].set(length), self.page_size)
+                            self.lengths.at[b].set(length), self.page_size,
+                            self.dp)

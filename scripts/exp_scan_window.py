@@ -14,10 +14,12 @@ layers, so ratios transfer; host costs are layer-independent, so the
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 import jax
 import numpy as np
@@ -34,8 +36,8 @@ def main():
     from ggml_gfx906_tpu.ops.quantized import QuantTensor, to_int8_layout
     from ggml_gfx906_tpu.runtime.engine import Engine
 
-    sys.path.insert(0, ".")
-    from scripts.exp_pipe_model import build_params
+    sys.path.insert(0, os.path.join(_REPO, "scripts"))
+    from exp_pipe_model import build_params
 
     config.set("attn_impl", "xla")
     config.set("qmm_pipeline", "off")
