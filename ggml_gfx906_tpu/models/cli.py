@@ -1,9 +1,17 @@
-"""CLI inference driver — the `gpt-2-backend` binary analogue.
+"""CLI inference drivers — the gpt-2 binaries ladder analogue.
 
-ref: examples/gpt-2/main-backend.cpp:786 main (same flags: -m model, -p
-prompt, -n n_predict, --top_k/--top_p/--temp, -s seed).
+Single-sequence generate (ref: examples/gpt-2/main-backend.cpp:786 main —
+same flags: -m model, -p prompt, -n n_predict, --top_k/--top_p/--temp,
+-s seed):
 
     python -m ggml_gfx906_tpu.models.cli -m model.gguf -p "hello" -n 32
+
+Continuous-batching serving (ref: examples/gpt-2/main-batched.cpp:786 —
+parallel sequences over the slot engine; here the production Engine with
+chunked admission, windowed harvest, paged KV):
+
+    python -m ggml_gfx906_tpu.models.cli serve -m model.gguf \
+        --prompts prompts.txt -n 64 --max-batch 8
 """
 from __future__ import annotations
 
@@ -15,7 +23,127 @@ import jax
 import numpy as np
 
 
+def _load_model(reader, path):
+    """(arch, module, cfg, params) for any supported GGUF architecture."""
+    arch = reader.kv.get("general.architecture")
+    if arch == "gpt2":
+        from . import gpt2 as mod
+    elif arch == "gptj":
+        from . import gptj as mod
+    elif arch == "llama" and int(reader.kv.get("llama.expert_count", 0)) >= 2:
+        from . import moe as mod
+    elif arch == "llama":
+        from . import llama as mod
+    else:
+        return arch, None, None, None
+    cfg, params = mod.load(path)
+    return arch, mod, cfg, params
+
+
 def main(argv=None):
+    argv = sys.argv[1:] if argv is None else list(argv)
+    if argv and argv[0] == "serve":
+        return serve_main(argv[1:])
+    return generate_main(argv)
+
+
+def serve_main(argv):
+    """`serve` subcommand: N prompts through the continuous-batching
+    Engine, completions streamed as they finish, aggregate tok/s at the
+    end (the user-facing entry point for the framework's batched-serving
+    path — VERDICT r03 #7)."""
+    ap = argparse.ArgumentParser(
+        prog="cli serve", description="batched GGUF serving on TPU")
+    ap.add_argument("-m", "--model", required=True, help="GGUF model path")
+    ap.add_argument("--prompts", required=True,
+                    help="file with one prompt per line ('-' = stdin)")
+    ap.add_argument("--tokens", action="store_true",
+                    help="prompt lines are comma-separated token ids")
+    ap.add_argument("-n", "--n-predict", type=int, default=64,
+                    help="max new tokens per request")
+    ap.add_argument("--max-batch", type=int, default=8,
+                    help="engine slots (parallel sequences)")
+    ap.add_argument("--max-seq", type=int, default=None,
+                    help="per-slot KV capacity (default: model n_ctx)")
+    ap.add_argument("--paged-pages", type=int, default=None,
+                    help="use a paged KV pool of this many pages")
+    ap.add_argument("--kv-quant", action="store_true",
+                    help="int8 KV cache (capacity feature)")
+    ap.add_argument("--top-k", type=int, default=40)
+    ap.add_argument("--top-p", type=float, default=0.9)
+    ap.add_argument("--temp", type=float, default=0.0,
+                    help="0 = greedy (default)")
+    ap.add_argument("-s", "--seed", type=int, default=0,
+                    help="base seed (request i uses seed+i)")
+    ap.add_argument("--no-eos", action="store_true",
+                    help="ignore the tokenizer eos id (always run -n)")
+    args = ap.parse_args(argv)
+
+    from ..gguf import GGUFReader
+    from ..runtime.engine import Engine
+    from ..utils import config
+    from . import tokenizer
+
+    reader = GGUFReader(args.model)
+    arch, mod, cfg, params = _load_model(reader, args.model)
+    if mod is None:
+        print(f"error: unsupported architecture {arch!r}", file=sys.stderr)
+        return 1
+    tok = tokenizer.from_gguf(reader)
+
+    src = sys.stdin if args.prompts == "-" else open(args.prompts)
+    with src:
+        lines = [ln.rstrip("\n") for ln in src if ln.strip()]
+    if not lines:
+        print("error: no prompts", file=sys.stderr)
+        return 1
+    if args.tokens:
+        prompt_ids = [[int(t) for t in ln.split(",")] for ln in lines]
+    else:
+        if tok is None:
+            print("error: model has no tokenizer; use --tokens",
+                  file=sys.stderr)
+            return 1
+        prompt_ids = [tok.encode(ln) for ln in lines]
+
+    eos_id = None
+    if not args.no_eos and tok is not None:
+        eos_id = getattr(tok, "eos_id", None)
+    max_seq = args.max_seq or min(cfg.n_ctx, 2048)
+    print(f"model: {arch}, {cfg.n_layer} layers, n_embd={cfg.n_embd}, "
+          f"slots={args.max_batch}, max_seq={max_seq}, "
+          f"device: {jax.devices()[0]}", file=sys.stderr)
+
+    if args.kv_quant:
+        config.set("kv_quant", True)
+    eng = Engine(mod, cfg, params, max_batch=args.max_batch,
+                 max_seq=max_seq, paged_pages=args.paged_pages)
+    rid2idx = {}
+    for i, ids in enumerate(prompt_ids):
+        rid = eng.submit(ids, args.n_predict, eos_id=eos_id,
+                         temp=args.temp, top_k=args.top_k,
+                         top_p=args.top_p, seed=args.seed + i)
+        rid2idx[rid] = i
+
+    t0 = time.time()
+
+    def on_finish(req):
+        i = rid2idx[req.rid]
+        text = (tok.decode(req.out) if tok is not None
+                else ",".join(map(str, req.out)))
+        print(f"[{i}] {text}", flush=True)
+        print(f"[{i}] done: {len(req.out)} tokens at "
+              f"+{time.time()-t0:.2f}s", file=sys.stderr)
+
+    done = eng.run(on_finish=on_finish)
+    dt = time.time() - t0
+    toks = sum(len(r.out) for r in done)
+    print(f"served {len(done)} requests, {toks} tokens in {dt:.2f}s "
+          f"({toks/dt:.1f} tok/s aggregate incl. compile)", file=sys.stderr)
+    return 0
+
+
+def generate_main(argv):
     ap = argparse.ArgumentParser(description="GGUF model inference on TPU")
     ap.add_argument("-m", "--model", required=True, help="GGUF model path")
     ap.add_argument("-p", "--prompt", default=None, help="text prompt")
@@ -31,28 +159,14 @@ def main(argv=None):
 
     from ..gguf import GGUFReader
     from ..runtime.sampling import greedy, sample_top_k_top_p
-    from . import gpt2, tokenizer
+    from . import tokenizer
 
     reader = GGUFReader(args.model)
-    arch = reader.kv.get("general.architecture")
-    if arch == "gpt2":
-        cfg, params = gpt2.load(args.model)
-        generate = gpt2.generate
-    elif arch == "gptj":
-        from . import gptj
-        cfg, params = gptj.load(args.model)
-        generate = gptj.generate
-    elif arch == "llama" and int(reader.kv.get("llama.expert_count", 0)) >= 2:
-        from . import moe
-        cfg, params = moe.load(args.model)
-        generate = moe.generate
-    elif arch == "llama":
-        from . import llama
-        cfg, params = llama.load(args.model)
-        generate = llama.generate
-    else:
+    arch, mod, cfg, params = _load_model(reader, args.model)
+    if mod is None:
         print(f"error: unsupported architecture {arch!r}", file=sys.stderr)
         return 1
+    generate = mod.generate
 
     tok = tokenizer.from_gguf(reader)
     if args.tokens is not None:

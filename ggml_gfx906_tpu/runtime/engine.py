@@ -319,8 +319,10 @@ class Engine:
         self.queue.append(r)
         return r.rid
 
-    def run(self) -> list[Request]:
+    def run(self, on_finish=None) -> list[Request]:
         """Run until all submitted requests complete; returns them.
+        on_finish(req) streams each completed Request as soon as its window
+        is harvested (the serving CLI's progress hook).
 
         Decode dispatches are windowed AND pipelined: up to
         `engine_harvest_depth` steps chain on device through the resident
@@ -331,11 +333,21 @@ class Engine:
         bit-identical to depth 1: sampling keys derive from (seed, per-slot
         dispatch counter) only, and post-completion in-flight steps are
         discarded at harvest by the slot→rid snapshots."""
+        n_streamed = 0
+
+        def flush():
+            nonlocal n_streamed
+            if on_finish is not None:
+                while n_streamed < len(self.finished):
+                    on_finish(self.finished[n_streamed])
+                    n_streamed += 1
+
         depth = max(1, int(config.get("engine_harvest_depth")))
         if depth == 1:
             while (self.queue or self.pending
                    or any(s is not None for s in self.slots)):
                 self.step()
+                flush()
             out, self.finished = self.finished, []
             return out
         prev = None
@@ -349,6 +361,7 @@ class Engine:
                 self._harvest(np.asarray(stacked), snaps)
             elif self._first_pending:
                 self._harvest(np.zeros((0, self.max_batch), np.int32), [])
+            flush()
             prev = cur
             if aborted is not None:
                 # cooperative cancel: tokens already dispatched must not be

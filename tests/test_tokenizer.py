@@ -163,3 +163,44 @@ def test_llama_gguf_serves_from_file_alone(tmp_path, capsys):
     outerr = capsys.readouterr()
     assert "prompt tokens:" in outerr.err
     assert outerr.out.strip() != ""
+
+
+def test_cli_serve_batched_from_file(tmp_path, capsys):
+    """`cli serve`: N prompts through the continuous-batching Engine from a
+    GGUF file alone — streamed completions + aggregate tok/s (the
+    user-facing entry point for batched serving, ref the gpt-2 binaries
+    ladder examples/gpt-2/main-batched.cpp:786)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    from ggml_gfx906_tpu.models import cli, convert
+
+    tokens, scores, types = _spm_vocab()
+    torch.manual_seed(0)
+    config = transformers.LlamaConfig(
+        vocab_size=len(tokens), hidden_size=64, intermediate_size=128,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-5,
+        tie_word_embeddings=False)
+    model = transformers.LlamaForCausalLM(config)
+    path = tmp_path / "llama-serve.gguf"
+    convert.convert_llama(model.state_dict(), config, path,
+                          tokens=tokens, scores=scores, token_types=types)
+    pfile = tmp_path / "prompts.txt"
+    pfile.write_text("the ab\nabc abc\nb c d\n")
+
+    rc = cli.main(["serve", "-m", str(path), "--prompts", str(pfile),
+                   "-n", "4", "--max-batch", "2", "--max-seq", "32",
+                   "--no-eos"])
+    assert rc == 0
+    outerr = capsys.readouterr()
+    lines = [ln for ln in outerr.out.splitlines() if ln.startswith("[")]
+    assert len(lines) == 3                      # one completion per prompt
+    assert {ln.split("]")[0] + "]" for ln in lines} == {"[0]", "[1]", "[2]"}
+    assert "tok/s aggregate" in outerr.err
+    # serve must agree with the single-sequence CLI on the same prompt
+    rc = cli.main(["-m", str(path), "-p", "the ab", "-n", "4", "--greedy"])
+    assert rc == 0
+    single = capsys.readouterr().out.strip()
+    served = next(ln for ln in lines if ln.startswith("[0] "))[4:]
+    assert single.endswith(served) or served in single
