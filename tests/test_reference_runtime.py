@@ -34,27 +34,41 @@ N_PREDICT = 32
 
 @pytest.fixture(scope="module")
 def harness():
+    # flock guards the cold-cache build: under pytest-xdist several workers
+    # reach this module fixture concurrently and used to clobber each
+    # other's cmake/g++ outputs (same pattern as tests/_oracle_build.py)
+    import fcntl
+
     if not REF.exists():
         pytest.skip("reference tree not available")
     libs = [BUILD / "ref" / "src" / f"libggml{s}.a"
             for s in ("-cpu", "", "-base")]
-    if not all(p.exists() for p in libs):
-        subprocess.run(
-            ["cmake", "-S", str(REF), "-B", str(BUILD / "ref"),
-             "-DCMAKE_BUILD_TYPE=Release", "-DGGML_BUILD_TESTS=OFF",
-             "-DGGML_BUILD_EXAMPLES=OFF", "-DBUILD_SHARED_LIBS=OFF"],
-            check=True, capture_output=True)
-        subprocess.run(
-            ["cmake", "--build", str(BUILD / "ref"), "-j", str(os.cpu_count())],
-            check=True, capture_output=True)
-    src = REPO / "cpp" / "ref_gpt2_decode.cpp"
-    if (not HARNESS.exists()
-            or HARNESS.stat().st_mtime < src.stat().st_mtime):
-        subprocess.run(
-            ["g++", "-O2", "-o", str(HARNESS), str(src),
-             f"-I{REF}/include", *[str(p) for p in libs],
-             "-lm", "-pthread", "-fopenmp"],
-            check=True, capture_output=True)
+    BUILD.mkdir(exist_ok=True)
+    with open(BUILD / "ref_runtime.lock", "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        try:
+            if not all(p.exists() for p in libs):
+                subprocess.run(
+                    ["cmake", "-S", str(REF), "-B", str(BUILD / "ref"),
+                     "-DCMAKE_BUILD_TYPE=Release", "-DGGML_BUILD_TESTS=OFF",
+                     "-DGGML_BUILD_EXAMPLES=OFF", "-DBUILD_SHARED_LIBS=OFF"],
+                    check=True, capture_output=True)
+                subprocess.run(
+                    ["cmake", "--build", str(BUILD / "ref"),
+                     "-j", str(os.cpu_count())],
+                    check=True, capture_output=True)
+            src = REPO / "cpp" / "ref_gpt2_decode.cpp"
+            if (not HARNESS.exists()
+                    or HARNESS.stat().st_mtime < src.stat().st_mtime):
+                tmp = HARNESS.with_suffix(".tmp")
+                subprocess.run(
+                    ["g++", "-O2", "-o", str(tmp), str(src),
+                     f"-I{REF}/include", *[str(p) for p in libs],
+                     "-lm", "-pthread", "-fopenmp"],
+                    check=True, capture_output=True)
+                tmp.rename(HARNESS)
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
     return HARNESS
 
 
