@@ -154,6 +154,69 @@ def quality_proxy():
     }
 
 
+def engine_sweep(llama, cfg, params, max_seq, note, extra,
+                 n_new8: int = 128, n_new: int = 200):
+    """Hardened engine sweep (VERDICT r03 #1a): each config runs TWICE with
+    distinct requests, per-window wall-times are logged (Engine.window_log),
+    windows >3x the run's median are flagged as stalls (tunnel contention /
+    late compile), and the reported number is the max over the repeats —
+    both repeats land in the JSON so the claim is auditable. Ref anchor:
+    the scheduler's keep-devices-busy role, src/ggml-backend.cpp:1352-1430."""
+    from ggml_gfx906_tpu.runtime.engine import Engine
+
+    rng2 = np.random.default_rng(1)
+
+    def run_cfg(label, b, seq, new, paged_pages=None, repeats=2):
+        eng = Engine(llama, cfg, params, max_batch=b, max_seq=seq,
+                     paged_pages=paged_pages)
+        # warm-up: one full-length request compiles the prefill bucket,
+        # the slot install, and the decode+sample step AND scan programs
+        # for every attention-window bucket the timed runs will cross —
+        # compiles cost tens of seconds here and must not land in a run
+        eng.submit(rng2.integers(1, 1000, 24).tolist(), new)
+        eng.run()
+        runs = []
+        for _ in range(repeats):
+            for _ in range(b):
+                eng.submit(rng2.integers(1, 1000, 24).tolist(), new)
+            t0 = time.time()
+            done = eng.run()
+            dt = time.time() - t0
+            toks = sum(len(r.out) for r in done)
+            wins = [s for s, n in eng.window_log if n > 0]
+            med = float(np.median(wins)) if wins else 0.0
+            stalls = [s for s in wins if s > 3 * med]
+            runs.append({
+                "tok_s": round(toks / dt, 1),
+                "stall_windows": len(stalls),
+                "stall_s": round(sum(s - med for s in stalls), 2),
+                "n_windows": len(wins),
+            })
+            note(f"  {label}: {runs[-1]['tok_s']} tok/s  "
+                 f"[{len(stalls)}/{len(wins)} stall windows, "
+                 f"{runs[-1]['stall_s']}s excess]")
+        del eng
+        extra[f"engine_runs_{label}"] = runs
+        return max(r["tok_s"] for r in runs)
+
+    b8 = run_cfg("b8", 8, max_seq, n_new8)
+    b16 = run_cfg("b16", 16, 256, n_new)
+    # r03 profiling (scripts/exp_engine_profile.py): the batched step costs
+    # only ~8% over single-stream and in-program top-k sampling is free, so
+    # aggregate throughput scales with slot count until the (MHA) KV read
+    # dominates — at b=32/window 256 the cache stream is ~2x the weight
+    # stream; that is physics, not overhead. GQA models scale further.
+    b32 = run_cfg("b32", 32, 256, n_new)
+    # the PAGED pool replaces the dense max_seq=256 workaround (the dense
+    # 32-slot 1024-seq slab OOMs beside the weights): HBM scales with live
+    # tokens (<=224/slot -> 4 pages), so max_seq stays 1024
+    b32p = run_cfg("b32_paged", 32, min(1024, max_seq * 4), n_new,
+                   paged_pages=128)
+    extra["engine_tok_s_b32_dense256"] = b32
+    extra["engine_tok_s_b32_paged"] = b32p
+    return b8, b16, max(b32, b32p)
+
+
 def bench_llama7b():
     import jax
     import jax.numpy as jnp
@@ -233,46 +296,13 @@ def bench_llama7b():
         pre_s = max(pre_s, n_pre / (time.time() - t0))
     del kvp, lg
 
-    # aggregate serving throughput: the continuous-batching engine with 8
-    # slots (chunked prefill + batched sampled decode in one program per
+    # aggregate serving throughput: the continuous-batching engine
+    # (chunked prefill + batched sampled decode in one program per
     # step; per-step host fetch included — the production serving number)
     note("engine throughput (b=8/16/32 sweep)...")
-    from ggml_gfx906_tpu.runtime.engine import Engine
-
-    rng2 = np.random.default_rng(1)
-    n_new = 128
-
-    def engine_run(b, seq, new):
-        # r03 profiling (scripts/exp_engine_profile.py): the batched step
-        # costs only ~8% over single-stream and in-program top-k sampling
-        # is free, so aggregate throughput scales with slot count until
-        # the (MHA) KV read dominates — at b=32/window 256 the cache
-        # stream is ~2x the weight stream; that is physics, not overhead.
-        # b=16/32 run max_seq=256 (the dense 32-slot 1024-seq slab OOMs
-        # beside the weights) and longer generations (the b-slot
-        # admission ramp amortizes; serving runs are long-lived).
-        # kv_quant LOSES here: XLA materializes the dequantized cache, so
-        # int8 KV reads become write+read — measured 419 vs 565 tok/s.
-        eng = Engine(llama, cfg, params, max_batch=b, max_seq=seq)
-        # warm-up: one full-length request compiles the prefill bucket,
-        # the slot install, and the decode+sample program for EVERY
-        # attention-window bucket the timed run will cross — compiles
-        # cost tens of seconds each here and must not land in the run
-        eng.submit(rng2.integers(1, 1000, 24).tolist(), new)
-        eng.run()
-        for _ in range(b):
-            eng.submit(rng2.integers(1, 1000, 24).tolist(), new)
-        t0 = time.time()
-        done = eng.run()
-        dt = time.time() - t0
-        toks = sum(len(r.out) for r in done)
-        note(f"  b={b}: {toks/dt:.1f} tok/s")
-        del eng
-        return toks / dt
-
-    engine_tok_s = engine_run(8, max_seq, n_new)
-    engine_tok_s_b16 = engine_run(16, 256, 200)
-    engine_tok_s_b32 = engine_run(32, 256, 200)
+    extra = {}
+    engine_tok_s, engine_tok_s_b16, engine_tok_s_b32 = engine_sweep(
+        llama, cfg, params, max_seq, note, extra)
 
     # HBM bandwidth measured IN-RUN (chained-dependence probe — constants,
     # fused identical reads, and host-data transfers all mismeasure; see
@@ -298,6 +328,7 @@ def bench_llama7b():
         "measured_hbm_gbs": round(bw / 1e9, 0),
         "weight_bytes": wbytes,
         **quality,
+        **extra,
         "device": str(jax.devices()[0]),
     }))
 

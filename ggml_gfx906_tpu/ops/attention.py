@@ -70,15 +70,53 @@ def _causal_ref(q, k, v, pos, scale, logit_softcap, k_scale=None,
     """Materialized-mask XLA path with pos-based causal semantics."""
     B, _, N, _ = q.shape
     M = k.shape[2]
+    if k_scale is not None:
+        return _causal_postscale(q, k, v, k_scale, v_scale, pos, scale,
+                                 logit_softcap)
     pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
     qpos = pos[:, None, None] + jnp.arange(N, dtype=jnp.int32)[None, :, None]
     mask = jnp.where(jnp.arange(M, dtype=jnp.int32)[None, None, :] <= qpos,
                      0.0, -jnp.inf).astype(jnp.float32)[:, None]  # (B,1,N,M)
-    if k_scale is not None:
-        k = k.astype(jnp.float32) * k_scale[..., None]
-        v = v.astype(jnp.float32) * v_scale[..., None]
-    return attention_ref(q, k.astype(q.dtype), v.astype(q.dtype), mask,
-                         scale, 0.0, logit_softcap, None)
+    return attention_ref(q, k, v, mask, scale, 0.0, logit_softcap, None)
+
+
+def _causal_postscale(q, k8, v8, kd, vd, pos, scale, softcap):
+    """Quantized-KV causal attention WITHOUT materializing the dequantized
+    cache: the int8 K/V stream straight into the attention dots (XLA fuses
+    the int8→bf16 convert into the contraction operand) and the per-position
+    scales apply to the dot OUTPUTS — kd on the scores, vd folded into the
+    probabilities. Dequantize-first lets XLA write the expanded bf16 cache
+    to HBM, turning the halved read into write+read; measured at the b=32
+    serving shape this formulation is 2.2x faster and 1.16x dense bf16
+    (scripts/exp_kv_attn.py). The XLA analogue of the reference's in-kernel
+    quantized-KV FlashAttention (src/ggml-cuda/fattn.cu:180-270).
+
+    q (B, H, N, D); k8/v8 (B, KVH, M, D) int8; kd/vd (B, KVH, M) f32."""
+    B, H, N, D = q.shape
+    KVH, M = k8.shape[1], k8.shape[2]
+    rep = H // KVH
+    dot_t = jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
+    # group query heads by their kv head instead of repeating the int8
+    # cache (a repeat would materialize the expanded cache to HBM):
+    # q head h uses kv head h // rep, so the (H, N) axes flatten to
+    # (KVH, rep*N) rows with row j of group kvh at query offset j % N
+    qg = q.reshape(B, KVH, rep * N, D)
+    s = jnp.einsum("bhnd,bhmd->bhnm", qg.astype(dot_t), k8.astype(dot_t),
+                   preferred_element_type=jnp.float32)
+    s = s * (kd[:, :, None, :] * jnp.float32(scale))
+    if softcap != 0.0:
+        s = jnp.tanh(s * (1.0 / softcap)) * softcap
+    pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
+    qpos = (pos[:, None]
+            + (jnp.arange(rep * N, dtype=jnp.int32) % N)[None])  # (B, rN)
+    mask = jnp.where(
+        jnp.arange(M, dtype=jnp.int32)[None, None, :] <= qpos[:, :, None],
+        0.0, -jnp.inf).astype(jnp.float32)[:, None]              # (B,1,rN,M)
+    p = jax.nn.softmax(s + mask, axis=-1)
+    pv = (p * vd[:, :, None, :]).astype(dot_t)
+    out = jnp.einsum("bhnm,bhmd->bhnd", pv, v8.astype(dot_t),
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, H, N, D).astype(q.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))

@@ -81,24 +81,38 @@ def attn_postscale(q, k8, v8, kd, vd, mask):
                       preferred_element_type=jnp.float32)
 
 
-def chain_fn(attn, L):
+L = 8  # layers per pass (each with its own cache stack)
+
+
+def chain_fn(attn, T):
+    """T full passes over the L-layer chain in ONE program (fori_loop, so
+    the compiled body is L attns regardless of T); x feeds back so every
+    pass re-streams all L caches with a fresh q operand (identical q would
+    let XLA CSE the repeated attention calls)."""
     @jax.jit
     def run(q0, mask, *kv):
         k, v, kd, vd = kv
-        x = q0
-        for i in range(L):
-            o = attn(x, k[i], v[i],
-                     None if kd is None else kd[i],
-                     None if vd is None else vd[i], mask)
-            # chain: next layer's q depends on this layer's output
-            x = q0 + o.astype(q0.dtype) * 1e-6
-        return x
+
+        def body(t, x):
+            for i in range(L):
+                o = attn(x, k[i], v[i],
+                         None if kd is None else kd[i],
+                         None if vd is None else vd[i], mask)
+                # chain: next layer's q depends on this layer's output;
+                # t folds in so iterations can't collapse
+                x = q0 + o.astype(q0.dtype) * (1e-6 * (1 + t))
+            return x
+
+        return jax.lax.fori_loop(0, T, body, q0)
     return run
 
 
 def measure(name, attn, quant):
+    """Slope over T (passes per program): Δt / (ΔT * L) isolates the
+    per-layer-attention cost from the fixed ~20-36 ms fetch round trip.
+    ΔT*L = 64 layer-attentions ≈ 6-12 ms — well above tunnel jitter."""
     print(f"[{name}] building...", file=sys.stderr, flush=True)
-    L_lo, L_hi = 2, 6
+    T_lo, T_hi = 2, 10
     rng = np.random.default_rng(0)
     q0 = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.bfloat16)
     mask = jnp.zeros((B, 1, 1, W), jnp.float32)
@@ -107,33 +121,32 @@ def measure(name, attn, quant):
             return kv
         return (kv[0], kv[1], None, None)
 
-    def mk(seed, L):
+    def mk(seed):
         kv = pack(make_kv(seed, L, quant))
         for x in kv:
             if x is not None:
                 device_sync(x)
         return kv
 
-    # distinct pre-materialized stacks per (L, use): warmup buffers must
+    # distinct pre-materialized stacks per use: warmup buffers must
     # never be reused by timed calls (byte-identical re-dispatch memoizes)
-    lo_w, lo_a, lo_b = mk(7, L_lo), mk(1, L_lo), mk(2, L_lo)
-    hi_w, hi_a, hi_b = mk(8, L_hi), mk(3, L_hi), mk(4, L_hi)
+    kv_w, kv_a, kv_b, kv_c = mk(7), mk(1), mk(2), mk(3)
 
-    f_lo = chain_fn(attn, L_lo)
-    f_hi = chain_fn(attn, L_hi)
+    f_lo = chain_fn(attn, T_lo)
+    f_hi = chain_fn(attn, T_hi)
 
     print(f"[{name}] compiling...", file=sys.stderr, flush=True)
-    device_sync(f_lo(q0, mask, *lo_w))
-    device_sync(f_hi(q0, mask, *hi_w))
+    device_sync(f_lo(q0, mask, *kv_w))
+    device_sync(f_hi(q0, mask, *kv_w))
     best_lo = best_hi = float("inf")
-    for lo, hi in ((lo_a, hi_a), (lo_b, hi_b)):
+    for kv in (kv_a, kv_b, kv_c):
         t0 = time.perf_counter()
-        device_sync(f_lo(q0, mask, *lo))
+        device_sync(f_lo(q0, mask, *kv))
         best_lo = min(best_lo, time.perf_counter() - t0)
         t0 = time.perf_counter()
-        device_sync(f_hi(q0, mask, *hi))
+        device_sync(f_hi(q0, mask, *kv))
         best_hi = min(best_hi, time.perf_counter() - t0)
-    per_layer = (best_hi - best_lo) / (L_hi - L_lo)
+    per_layer = (best_hi - best_lo) / ((T_hi - T_lo) * L)
     kv_bytes = 2 * B * H * W * (D + (4 if quant else 0)) * (1 if quant else 2)
     gbs = kv_bytes / per_layer / 1e9
     print(f"{name:14s} per-layer {per_layer*1e6:8.1f} us   "

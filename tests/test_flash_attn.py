@@ -128,3 +128,31 @@ def test_grad_flows():
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g, gr):
         assert _nmse(a, b) < 1e-9
+
+
+@pytest.mark.parametrize("b,h,kvh,n,pos", [
+    (2, 8, 8, 1, 200),     # MHA decode
+    (2, 8, 2, 1, 130),     # GQA decode
+    (1, 8, 4, 16, 40),     # GQA chunked prefill rows
+])
+def test_postscale_quant_parity(b, h, kvh, n, pos):
+    """The XLA postscale quantized-KV path (ops/attention._causal_postscale
+    — int8 streams into the dots, scales on the outputs) must match the
+    dequantize-first oracle. Float-associativity only: both compute the
+    same s[m] = (q·k8[m])·kd[m] and Σ_m p[m]·vd[m]·v8[m]."""
+    from ggml_gfx906_tpu.ops.attention import _causal_postscale, _causal_ref
+
+    rng = np.random.default_rng(11)
+    m, d = 256, 128
+    q, kf, vf = _mk(rng, b, h, kvh, n, m, d)
+    kd = jnp.abs(kf).max(-1) / 127.0
+    vd = jnp.abs(vf).max(-1) / 127.0
+    k8 = jnp.round(kf / kd[..., None]).astype(jnp.int8)
+    v8 = jnp.round(vf / vd[..., None]).astype(jnp.int8)
+    p = jnp.int32(pos)
+    out = _causal_postscale(q, k8, v8, kd, vd, p, 1.0 / d ** 0.5, 0.0)
+    # oracle: dense attention over the explicitly dequantized cache
+    ref = _causal_ref(q, k8.astype(jnp.float32) * kd[..., None],
+                      v8.astype(jnp.float32) * vd[..., None],
+                      p, 1.0 / d ** 0.5, 0.0)
+    assert _nmse(out, ref) < 1e-9
