@@ -82,6 +82,99 @@ def build_llama7b_params(cfg, int8_layout=True):
     return p
 
 
+GGUF_CACHE = Path(__file__).parent / "build" / "bench_llama7b_q4k.gguf"
+
+
+def ensure_bench_gguf(cfg, path=GGUF_CACHE):
+    """Write the 7B Q4_K benchmark GGUF once (random-but-valid wire blocks
+    with plausible scale magnitudes, seeded; cached across runs). The bench
+    then exercises the PRODUCTION path — bytes-on-disk → load → re-layout →
+    tokens-out — the way the reference CI smoke runs a real model file
+    (ref ci/run.sh:36-60, examples/gpt-2/main-batched.cpp:786)."""
+    from ggml_gfx906_tpu.gguf.format import GGUFWriter
+    from ggml_gfx906_tpu.quant.types import BLOCK_Q4_K, GGMLType
+
+    if path.exists():
+        return path
+    path.parent.mkdir(exist_ok=True)
+    rng = np.random.default_rng(0)
+    w = GGUFWriter()
+    A = "llama"
+    w.set("general.architecture", A)
+    w.set(f"{A}.context_length", cfg.n_ctx)
+    w.set(f"{A}.embedding_length", cfg.n_embd)
+    w.set(f"{A}.attention.head_count", cfg.n_head)
+    w.set(f"{A}.attention.head_count_kv", cfg.n_kv_head)
+    w.set(f"{A}.block_count", cfg.n_layer)
+    w.set(f"{A}.feed_forward_length", cfg.n_ff)
+    w.set(f"{A}.vocab_size", cfg.n_vocab)
+    w.set(f"{A}.attention.layer_norm_rms_epsilon", float(cfg.rms_eps))
+
+    # valid Q4_K blocks with CONSTRUCTED scale fields (running the real
+    # scale-search codec over 6.7B params costs hours; random raw bytes
+    # decode to exploding magnitudes that blow up the ppl gate). Constant
+    # packed sub-scales sc=32, mins m=60 with d=dmin=e make the decoded
+    # weight w = 32e·q − 60e·8... per ggml's q4_K: w = d·sc·q − dmin·m,
+    # so w = e·(32·q − 60), q ~ U[0,15] → mean ≈ −30e·... centered by
+    # choosing m·dmin = E[sc·q]·d: 32·7.5 = 240 = 60·(dmin=4e)/e → use
+    # dmin = 4e. std = 32e·4.61 ≈ 147.5e; e = 1.356e-4 → std ≈ 0.02.
+    from ggml_gfx906_tpu.quant.kquants import pack_scale_min_k4
+
+    scales12 = pack_scale_min_k4(
+        np.full((1, 8), 32, np.uint8), np.full((1, 8), 60, np.uint8))[0]
+    E_SCALE = np.float16(1.356e-4)
+
+    def q4k(name, n, k):
+        sb = n * (k // 256)
+        blocks = np.zeros(sb, BLOCK_Q4_K)
+        blocks["d"] = E_SCALE
+        blocks["dmin"] = np.float16(4 * float(E_SCALE))
+        blocks["scales"] = scales12
+        blocks["qs"] = rng.integers(0, 256, (sb, 128), dtype=np.uint8)
+        w.add_tensor(name, (k, n), GGMLType.Q4_K, blocks.tobytes())
+
+    D, V, FF, KVD = (cfg.n_embd, cfg.n_vocab, cfg.n_ff,
+                     cfg.n_kv_head * cfg.head_dim)
+    ones = np.ones(D, np.float32)
+    q4k("token_embd.weight", V, D)
+    w.add_array_tensor("output_norm.weight", ones)
+    for i in range(cfg.n_layer):
+        q4k(f"blk.{i}.attn_q.weight", D, D)
+        q4k(f"blk.{i}.attn_k.weight", KVD, D)
+        q4k(f"blk.{i}.attn_v.weight", KVD, D)
+        q4k(f"blk.{i}.attn_output.weight", D, D)
+        q4k(f"blk.{i}.ffn_gate.weight", FF, D)
+        q4k(f"blk.{i}.ffn_up.weight", FF, D)
+        q4k(f"blk.{i}.ffn_down.weight", D, FF)
+        w.add_array_tensor(f"blk.{i}.attn_norm.weight", ones)
+        w.add_array_tensor(f"blk.{i}.ffn_norm.weight", ones)
+    w.write(path)
+    return path
+
+
+def quality_7b(cfg, kernel_params, int8_params, note):
+    """Served-layout quality gate AT THE 7B SHAPE (VERDICT r03 #9): ppl of
+    the exact-Q4_K kernel layout vs the production int8 execution layout
+    over a deterministic synthetic corpus, two 512-token windows. Same
+    <=1%-relative-delta bound the toy gate enforces in-suite
+    (tests/test_served_quality.py)."""
+    from ggml_gfx906_tpu.models import perplexity
+
+    rng = np.random.default_rng(11)
+    corpus = rng.integers(0, cfg.n_vocab, 1025).astype(np.int32)
+    note("7B ppl gate: exact Q4_K...")
+    ppl_q = perplexity.perplexity_llama(cfg, kernel_params, corpus,
+                                        n_ctx=512)["ppl"]
+    note("7B ppl gate: served int8...")
+    ppl_8 = perplexity.perplexity_llama(cfg, int8_params, corpus,
+                                        n_ctx=512)["ppl"]
+    return {
+        "ppl7b_q4k_exact": round(ppl_q, 4),
+        "ppl7b_served_int8": round(ppl_8, 4),
+        "ppl7b_rel_delta": round(abs(ppl_8 - ppl_q) / ppl_q, 6),
+    }
+
+
 def quality_proxy():
     """Quality gate on the SERVED layout (mirrors tests/test_served_quality):
     one set of float weights → f32 dense / exact-Q4_K kernel layout /
@@ -163,16 +256,33 @@ def engine_sweep(llama, cfg, params, max_seq, note, extra,
     both repeats land in the JSON so the claim is auditable. Ref anchor:
     the scheduler's keep-devices-busy role, src/ggml-backend.cpp:1352-1430."""
     from ggml_gfx906_tpu.runtime.engine import Engine
+    from ggml_gfx906_tpu.utils import config as _cfg
 
     rng2 = np.random.default_rng(1)
+    # one window bucket for the whole sweep: every bucket compiles its own
+    # decode step AND scan program (tens of seconds each at 7B; the paged
+    # gather shapes multiply it again) — the 200-token runs spend most
+    # steps at the 256 bucket anyway, so the floor trades a few
+    # exactly-masked early reads for 4x fewer compiles and stall-free runs
+    min_window0 = int(_cfg.get("engine_min_window"))
+    _cfg.set("engine_min_window", 256)
 
     def run_cfg(label, b, seq, new, paged_pages=None, repeats=2):
+        from ggml_gfx906_tpu.utils import config as _cfg2
+
         eng = Engine(llama, cfg, params, max_batch=b, max_seq=seq,
                      paged_pages=paged_pages)
-        # warm-up: one full-length request compiles the prefill bucket,
-        # the slot install, and the decode+sample step AND scan programs
-        # for every attention-window bucket the timed runs will cross —
-        # compiles cost tens of seconds here and must not land in a run
+        # warm-up in TWO phases so BOTH decode program families compile
+        # for every attention-window bucket the timed runs cross: the scan
+        # path only engages when no admission can occur, so a multi-slot
+        # run's admission phase runs the PER-STEP programs at big buckets —
+        # r04 measured a single 16-24s in-run compile window per config
+        # until the scan-off warmup pass was added.
+        scan0 = bool(_cfg2.get("engine_scan_window"))
+        _cfg2.set("engine_scan_window", False)
+        eng.submit(rng2.integers(1, 1000, 24).tolist(), new)
+        eng.run()
+        _cfg2.set("engine_scan_window", scan0)
         eng.submit(rng2.integers(1, 1000, 24).tolist(), new)
         eng.run()
         runs = []
@@ -212,35 +322,143 @@ def engine_sweep(llama, cfg, params, max_seq, note, extra,
     # tokens (<=224/slot -> 4 pages), so max_seq stays 1024
     b32p = run_cfg("b32_paged", 32, min(1024, max_seq * 4), n_new,
                    paged_pages=128)
+    # quantized KV over the same paged config: with the postscale attention
+    # formulation (ops/attention._causal_postscale) the int8 cache streams
+    # directly into the dots, so at b=32 — where the KV read is ~2x the
+    # weight stream — kv_quant must GAIN throughput (VERDICT r03 #2 done
+    # criterion; it used to LOSE 26% via dequant-materialization)
+    _cfg.set("kv_quant", True)
+    try:
+        b32q = run_cfg("b32_paged_kvq", 32, min(1024, max_seq * 4), n_new,
+                       paged_pages=128)
+    finally:
+        _cfg.set("kv_quant", False)
+        _cfg.set("engine_min_window", min_window0)
     extra["engine_tok_s_b32_dense256"] = b32
     extra["engine_tok_s_b32_paged"] = b32p
-    return b8, b16, max(b32, b32p)
+    extra["engine_tok_s_b32_paged_kvq"] = b32q
+    return b8, b16, max(b32, b32p, b32q)
+
+
+def bench_moe(note, extra, E=8, D=4096, FF=14336, T=16, U=2):
+    """MoE perf leg (VERDICT r03 #10): decode-shaped MUL_MAT_ID at a
+    Mixtral-ish shape — 8 experts, top-2, D=4096, FF=14336, int8-layout
+    expert weights (the production layout). The GShard-style static
+    dispatch streams ALL experts every step (ops/recurrent.mul_mat_id), so
+    per-step expert bytes are the full stack; reports the stream rate and
+    step time at T=16 routed tokens via the fori-loop slope method.
+    Ref: MUL_MAT_ID dispatch, src/ggml-cuda/ggml-cuda.cu mul_mat_id path."""
+    import jax
+    import jax.numpy as jnp
+    from ggml_gfx906_tpu import ops
+    from ggml_gfx906_tpu.ops.quantized import to_int8_layout
+    from ggml_gfx906_tpu.ops.recurrent import mul_mat_id
+    from ggml_gfx906_tpu.utils.perf import device_sync
+
+    rng = np.random.default_rng(3)
+    gate = [to_int8_layout(random_q4k(rng, FF, D)) for _ in range(E)]
+    up = [to_int8_layout(random_q4k(rng, FF, D)) for _ in range(E)]
+    down = [to_int8_layout(random_q4k(rng, D, FF)) for _ in range(E)]
+    ebytes = sum(t.nbytes for t in gate + up + down)
+    ids = jnp.asarray(rng.integers(0, E, (T, U)).astype(np.int32))
+
+    def chain(n):
+        @jax.jit
+        def run(x0, ids, gate, up, down):
+            def body(t, x):
+                xr = jnp.broadcast_to(x[:, None, :], (T, U, D))
+                g = mul_mat_id(gate, xr, ids)
+                u = mul_mat_id(up, xr, ids)
+                act = (ops.silu(g) * u).astype(x.dtype)
+                d = mul_mat_id(down, act, ids)
+                out = d.sum(axis=1)
+                # feed back so steps carry a real data dependence
+                return x0 + out.astype(x0.dtype) * (1e-6 * (1 + t))
+
+            return jax.lax.fori_loop(0, n, body, x0)
+        return run
+
+    lo, hi = chain(1), chain(5)
+    xs = [jnp.asarray(rng.standard_normal((T, D)), jnp.bfloat16)
+          for _ in range(4)]
+    device_sync(lo(xs[0], ids, gate, up, down))
+    device_sync(hi(xs[0], ids, gate, up, down))
+    best = float("inf")
+    for x in xs[1:]:
+        t0 = time.perf_counter()
+        device_sync(lo(x, ids, gate, up, down))
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        device_sync(hi(x, ids, gate, up, down))
+        best = min(best, (time.perf_counter() - t0 - t_lo) / 4)
+    extra["moe_ffn_step_ms"] = round(best * 1e3, 2)
+    extra["moe_expert_stream_gbs"] = round(ebytes / best / 1e9, 1)
+    note(f"  moe ffn step {extra['moe_ffn_step_ms']} ms = "
+         f"{extra['moe_expert_stream_gbs']} GB/s of expert stream "
+         f"({ebytes/1e9:.2f} GB, {E} experts)")
 
 
 def bench_llama7b():
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     from ggml_gfx906_tpu.models import llama
-    from ggml_gfx906_tpu.ops.quantized import QuantTensor
+    from ggml_gfx906_tpu.ops.quantized import QuantTensor, to_int8_layout
     from ggml_gfx906_tpu.utils.perf import measure_hbm_bw
 
     from ggml_gfx906_tpu.utils import autotune, config
+
+    T0 = time.time()
+
+    def note(msg):
+        print(f"[bench +{time.time()-T0:.0f}s] {msg}", file=sys.stderr,
+              flush=True)
+
+    def sync_tree(p):
+        """Force materialization: fetch a scalar from the LAST-enqueued
+        quant tensor — the device queue is in-order, so its completion
+        marks the whole tree's (block_until_ready returns at ENQUEUE on
+        this runtime; only a value fetch marks completion)."""
+        qts = [t for t in jax.tree.leaves(
+            p, is_leaf=lambda x: isinstance(x, QuantTensor))
+            if isinstance(t, QuantTensor)]
+        f = next(iter(qts[-1].fields.values()))
+        np.asarray(f.reshape(-1)[:1])
 
     config.set("attn_impl", autotune.choose_attn())
     cfg = llama.LlamaConfig(
         n_vocab=32000, n_ctx=2048, n_embd=4096, n_head=32, n_kv_head=32,
         n_layer=32, n_ff=11008, compute_dtype=jnp.bfloat16)
+    extra = {}
+
+    # -- production path: bytes-on-disk → device (VERDICT r03 #4) ---------
+    note("benchmark GGUF (write-once cache)...")
     t0 = time.time()
-    params = build_llama7b_params(cfg)
+    gpath = ensure_bench_gguf(cfg)
+    extra["gguf_write_s"] = round(time.time() - t0, 1)
+    note(f"loading {gpath.name} ({gpath.stat().st_size/1e9:.2f} GB file)...")
+    t0 = time.time()
+    lcfg, kparams = llama.load(gpath)      # wire → kernel layout → device
+    sync_tree(kparams)
+    extra["load_s"] = round(time.time() - t0, 1)
+    cfg = dataclasses.replace(lcfg, compute_dtype=jnp.bfloat16)
+    note(f"loaded in {extra['load_s']}s; re-layout to int8 execution...")
+    t0 = time.time()
+    params = jax.tree.map(
+        lambda t: to_int8_layout(t) if isinstance(t, QuantTensor) else t,
+        kparams, is_leaf=lambda t: isinstance(t, QuantTensor))
+    sync_tree(params)
+    extra["relayout_s"] = round(time.time() - t0, 1)
     wbytes = sum(t.nbytes for t in jax.tree.leaves(
         params, is_leaf=lambda x: isinstance(x, QuantTensor))
         if hasattr(t, "nbytes"))
-    print(f"built 7B params ({wbytes/1e9:.2f} GB) in {time.time()-t0:.0f}s",
-          file=sys.stderr)
+    note(f"re-laid out in {extra['relayout_s']}s "
+         f"({wbytes/1e9:.2f} GB execution layout)")
 
-    def note(msg):
-        print(f"[bench +{time.time()-T0:.0f}s] {msg}", file=sys.stderr, flush=True)
-    T0 = time.time()
+    # 7B-shape served-quality gate, then free the exact-layout tree
+    extra.update(quality_7b(cfg, kparams, params, note))
+    del kparams, lcfg
 
     max_seq = 1024
     kv = llama.make_cache(cfg, max_seq)
@@ -300,9 +518,11 @@ def bench_llama7b():
     # (chunked prefill + batched sampled decode in one program per
     # step; per-step host fetch included — the production serving number)
     note("engine throughput (b=8/16/32 sweep)...")
-    extra = {}
     engine_tok_s, engine_tok_s_b16, engine_tok_s_b32 = engine_sweep(
         llama, cfg, params, max_seq, note, extra)
+
+    note("MoE mul_mat_id leg...")
+    bench_moe(note, extra)
 
     # HBM bandwidth measured IN-RUN (chained-dependence probe — constants,
     # fused identical reads, and host-data transfers all mismeasure; see

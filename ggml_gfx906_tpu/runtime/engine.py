@@ -574,9 +574,12 @@ class Engine:
             self._ensure_pages(active)
         # attention window: smallest bucket covering the longest active
         # slot (incl. this step's new position) — short batches then skip
-        # the HBM reads for the padded tail of the max_seq cache
+        # the HBM reads for the padded tail of the max_seq cache. The
+        # engine_min_window floor bounds how many buckets (= decode-program
+        # compiles) a run can cross.
         window = min(self.max_seq,
-                     _bucket(int(self.host_len[active].max()) + 1))
+                     max(int(config.get("engine_min_window")),
+                         _bucket(int(self.host_len[active].max()) + 1)))
         self._upload_state(active)
         nxt, self._ctr_dev, self.kv = self._decode_step(
             self.params, self.kv, self._tok_dev, self._active_dev,
@@ -634,7 +637,8 @@ class Engine:
         if self.paged:
             self._ensure_pages(active, lookahead=depth)
         window = min(self.max_seq,
-                     _bucket(int(self.host_len[active].max()) + depth))
+                     max(int(config.get("engine_min_window")),
+                         _bucket(int(self.host_len[active].max()) + depth)))
         self._upload_state(active)
         out, nxt, self._ctr_dev, self.kv = self._decode_window_jit(
             self.params, self.kv, self._tok_dev, self._active_dev,

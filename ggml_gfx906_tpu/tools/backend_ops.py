@@ -313,6 +313,23 @@ def _register_cases():
         ids = r.integers(0, 4, (5, 2)).astype(np.int32)
         return (lambda e, a: ops.mul_mat_id(e, a, ids), (experts, x))
 
+    # MoE perf case at a Mixtral-proportioned shape (FF/D = 3.5, 8 experts,
+    # top-2) with int8-execution-layout experts — the production MoE decode
+    # path (VERDICT r03 #10; full-size numbers live in bench.py::bench_moe).
+    # flops counts ROUTED work (T·U token-expert pairs); the GShard-style
+    # static dispatch computes E·C rows, so printed GFLOP/s is conservative.
+    @case("mul_mat_id_moe_int8", nmse_max=2e-5,
+          flops=lambda: 2 * 16 * 2 * 1792 * 512)
+    def _():
+        r = _rng("mmid8")
+        E, N, K, T, U = 8, 1792, 512, 16, 2
+        experts = [to_int8_layout(QuantTensor.quantize(
+            GGMLType.Q8_0, _f32(r, N, K, scale=0.02))) for _ in range(E)]
+        x = _f32(r, T, U, K, scale=0.1)
+        ids = r.integers(0, E, (T, U)).astype(np.int32)
+        return (lambda *e: ops.mul_mat_id(list(e[:-1]), e[-1], ids),
+                (*experts, x))
+
     @case("get_set_rows")
     def _():
         r = _rng("gsr")

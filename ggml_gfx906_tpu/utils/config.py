@@ -104,6 +104,13 @@ register("engine_scan_window", True,
          "sampling keys chain on (seed, counter) and the wider attention "
          "window only adds exactly-masked reads. False = per-step "
          "dispatches within pipelined windows")
+register("engine_min_window", 32,
+         "smallest attention-window bucket the engine dispatches. Every "
+         "distinct bucket compiles its own decode step AND scan program "
+         "(tens of seconds each at 7B on this host, multiplied again by "
+         "the paged gather shapes); raising the floor to the workload's "
+         "typical depth (e.g. 256) trades exactly-masked extra KV reads "
+         "early in a sequence for 4x fewer compiles at startup")
 register("int8_tile", 512,
          "K-tile width of the int8 execution layout (per-tile requant "
          "scale granularity). Measured on hardware (8-layer 7B-shape "
