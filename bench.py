@@ -322,22 +322,26 @@ def engine_sweep(llama, cfg, params, max_seq, note, extra,
     # tokens (<=224/slot -> 4 pages), so max_seq stays 1024
     b32p = run_cfg("b32_paged", 32, min(1024, max_seq * 4), n_new,
                    paged_pages=128)
-    # quantized KV over the same paged config: with the postscale attention
-    # formulation (ops/attention._causal_postscale) the int8 cache streams
-    # directly into the dots, so at b=32 — where the KV read is ~2x the
-    # weight stream — kv_quant must GAIN throughput (VERDICT r03 #2 done
-    # criterion; it used to LOSE 26% via dequant-materialization)
+    # quantized KV: with the postscale attention formulation
+    # (ops/attention._causal_postscale) the int8 cache streams directly
+    # into the dots, so at b=32 — where the KV read is ~2x the weight
+    # stream — kv_quant must GAIN throughput (VERDICT r03 #2 done
+    # criterion; it used to LOSE 26% via dequant-materialization).
+    # Measured on the DENSE cache (the criterion's config) and on the
+    # paged pool (composition).
     _cfg.set("kv_quant", True)
     try:
-        b32q = run_cfg("b32_paged_kvq", 32, min(1024, max_seq * 4), n_new,
-                       paged_pages=128)
+        b32q = run_cfg("b32_kvq", 32, 256, n_new)
+        b32pq = run_cfg("b32_paged_kvq", 32, min(1024, max_seq * 4), n_new,
+                        paged_pages=128)
     finally:
         _cfg.set("kv_quant", False)
         _cfg.set("engine_min_window", min_window0)
     extra["engine_tok_s_b32_dense256"] = b32
+    extra["engine_tok_s_b32_kvq"] = b32q
     extra["engine_tok_s_b32_paged"] = b32p
-    extra["engine_tok_s_b32_paged_kvq"] = b32q
-    return b8, b16, max(b32, b32p, b32q)
+    extra["engine_tok_s_b32_paged_kvq"] = b32pq
+    return b8, b16, max(b32, b32p, b32q, b32pq)
 
 
 def bench_moe(note, extra, E=8, D=4096, FF=14336, T=16, U=2):
@@ -383,14 +387,17 @@ def bench_moe(note, extra, E=8, D=4096, FF=14336, T=16, U=2):
           for _ in range(4)]
     device_sync(lo(xs[0], ids, gate, up, down))
     device_sync(hi(xs[0], ids, gate, up, down))
-    best = float("inf")
+    # slope = min(t_hi) - min(t_lo): min over PAIRED diffs lets one stalled
+    # t_lo fabricate a super-HBM rate (r04 try2 printed 1304 GB/s > HBM)
+    t_lo = t_hi = float("inf")
     for x in xs[1:]:
         t0 = time.perf_counter()
         device_sync(lo(x, ids, gate, up, down))
-        t_lo = time.perf_counter() - t0
+        t_lo = min(t_lo, time.perf_counter() - t0)
         t0 = time.perf_counter()
         device_sync(hi(x, ids, gate, up, down))
-        best = min(best, (time.perf_counter() - t0 - t_lo) / 4)
+        t_hi = min(t_hi, time.perf_counter() - t0)
+    best = (t_hi - t_lo) / 4
     extra["moe_ffn_step_ms"] = round(best * 1e3, 2)
     extra["moe_expert_stream_gbs"] = round(ebytes / best / 1e9, 1)
     note(f"  moe ffn step {extra['moe_ffn_step_ms']} ms = "

@@ -96,6 +96,22 @@ def _set_tok(toks, b, t):
     return toks.at[b].set(t)
 
 
+@functools.partial(jax.jit, static_argnums=1)
+def _gather_window(kv, window):
+    """Paged pool → dense window-sized BatchedKVCache, ONCE per scan
+    window: the page gather used to run inside every decode step (write
+    + read of the whole windowed view = a measured ~30% paging tax at
+    b=32); amortized over the window it costs ~1/depth of that."""
+    return kv.gather_window(window)
+
+
+@functools.partial(jax.jit, donate_argnums=0, static_argnums=3)
+def _absorb_window(kv, dense, starts, depth):
+    # only the pool donates: the dense view is consumed by gathers whose
+    # outputs don't alias its buffers (donating it just warns)
+    return kv.absorb(dense, starts, depth)
+
+
 @jax.jit
 def _set_pt(pt, b, i, p):
     return pt.at[b, i].set(p)
@@ -640,10 +656,25 @@ class Engine:
                      max(int(config.get("engine_min_window")),
                          _bucket(int(self.host_len[active].max()) + depth)))
         self._upload_state(active)
-        out, nxt, self._ctr_dev, self.kv = self._decode_window_jit(
-            self.params, self.kv, self._tok_dev, self._active_dev,
-            self._seeds_dev, self._ctr_dev, self._temps_dev,
-            self._top_ks_dev, self._top_ps_dev, window, depth)
+        if self.paged:
+            # window-gather flow: pool → dense view once, the window's
+            # decode steps run the DENSE window program on it (the same
+            # executable a dense engine at (b, window) uses), then the
+            # depth new rows scatter back through the page table.
+            # host_len == the device lengths at this point in the queue
+            # (both advance by `active` per dispatched step).
+            starts = jnp.asarray(self.host_len.copy())
+            dense = _gather_window(self.kv, window)
+            out, nxt, self._ctr_dev, dense = self._decode_window_jit(
+                self.params, dense, self._tok_dev, self._active_dev,
+                self._seeds_dev, self._ctr_dev, self._temps_dev,
+                self._top_ks_dev, self._top_ps_dev, window, depth)
+            self.kv = _absorb_window(self.kv, dense, starts, depth)
+        else:
+            out, nxt, self._ctr_dev, self.kv = self._decode_window_jit(
+                self.params, self.kv, self._tok_dev, self._active_dev,
+                self._seeds_dev, self._ctr_dev, self._temps_dev,
+                self._top_ks_dev, self._top_ps_dev, window, depth)
         self._tok_dev = nxt
         self.counters += depth
         self.host_len += active.astype(np.int32) * depth

@@ -154,6 +154,62 @@ class PagedKVCache:
             kd, vd = dense_d(self.k_d[layer]), dense_d(self.v_d[layer])
         return kc, vc, kd, vd
 
+    def gather_window(self, window: int):
+        """Materialize the whole pool's first `window` positions as a dense
+        BatchedKVCache — the scan-window working cache (runtime/engine.py
+        dispatches one gather per WINDOW, runs the dense window program on
+        the view, then `absorb`s the new rows back; the per-step page
+        gather used to run INSIDE the decode program, doubling KV traffic
+        every step — a measured ~30% paging tax at b=32)."""
+        from .batched_kv import BatchedKVCache
+
+        ks, vs, kds, vds = [], [], [], []
+        for li in range(len(self.k)):
+            kc, vc, kd, vd = self.layer_kv(li, window)
+            ks.append(kc)
+            vs.append(vc)
+            if kd is not None:
+                kds.append(kd)
+                vds.append(vd)
+        return BatchedKVCache(tuple(ks), tuple(vs), tuple(kds), tuple(vds),
+                              self.lengths)
+
+    def absorb(self, dense, starts: jax.Array, depth: int) -> "PagedKVCache":
+        """Scatter a window's new rows back from the dense working cache:
+        positions starts[b] .. starts[b]+depth-1 of every layer (the only
+        rows the window wrote), routed through the page table. Freed or
+        inactive slots' tables point at the scratch page, so their junk
+        writes land where the pool already ignores them."""
+        ps = self.page_size
+        B = self.page_table.shape[0]
+        pos = starts[:, None] + jnp.arange(depth, dtype=jnp.int32)[None]
+        pos = jnp.minimum(pos, self.max_seq - 1)            # (B, depth)
+        pages = jnp.take_along_axis(self.page_table, pos // ps, 1)
+        offs = pos % ps
+        b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
+
+        def scat(pool, buf):
+            # buf (B, H, W, D) → rows (B, depth, H, D) at the window tail
+            rows = jnp.take_along_axis(
+                buf, pos[:, None, :, None].astype(jnp.int32), 2)
+            rows = jnp.transpose(rows, (0, 2, 1, 3))
+            return pool.at[pages, :, offs].set(rows.astype(pool.dtype))
+
+        def scat_d(pool, buf):
+            rows = jnp.take_along_axis(buf, pos[:, None, :], 2)
+            rows = jnp.transpose(rows, (0, 2, 1))
+            return pool.at[pages, :, offs].set(rows)
+
+        del b_idx
+        k = tuple(scat(p, b) for p, b in zip(self.k, dense.k))
+        v = tuple(scat(p, b) for p, b in zip(self.v, dense.v))
+        kd, vd = self.k_d, self.v_d
+        if self.quantized:
+            kd = tuple(scat_d(p, b) for p, b in zip(kd, dense.k_d))
+            vd = tuple(scat_d(p, b) for p, b in zip(vd, dense.v_d))
+        return PagedKVCache(k, v, kd, vd, self.page_table, dense.lengths,
+                            self.page_size, self.dp)
+
     def update_layer(self, layer: int, k_new: jax.Array, v_new: jax.Array,
                      start: jax.Array) -> "PagedKVCache":
         """Decode write: (B, 1, H, D) rows at per-slot positions start."""
