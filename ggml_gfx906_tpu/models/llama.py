@@ -80,25 +80,38 @@ def load(path) -> tuple[LlamaConfig, dict]:
         if f"{ARCH}.rope.dimension_count" in kv else None,
         rope_freq_scale=float(kv.get(f"{ARCH}.rope.freq_scale", 1.0)),
     )
-    p = {
-        "wte": _to_param(r, "token_embd.weight"),
-        "out_norm": _to_param(r, "output_norm.weight"),
-        "blocks": [],
-    }
+    # per-tensor wire→kernel re-layout is numpy-heavy and releases the GIL;
+    # a thread pool overlaps it across tensors and with the device uploads
+    # (measured on the 7B bench GGUF: 65 s serial → the pool cuts most of
+    # the host-side share; the reference's analogue is repack-at-load,
+    # src/ggml-cpu/repack.cpp)
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    work: list[tuple] = [("wte", "token_embd.weight"),
+                         ("out_norm", "output_norm.weight")]
     if "output.weight" in r.tensors:
-        p["lm_head"] = _to_param(r, "output.weight")
+        work.append(("lm_head", "output.weight"))
+    per_blk = [
+        ("attn_norm", "attn_norm.weight"),
+        ("wq", "attn_q.weight"), ("wk", "attn_k.weight"),
+        ("wv", "attn_v.weight"), ("wo", "attn_output.weight"),
+        ("ffn_norm", "ffn_norm.weight"),
+        ("w_gate", "ffn_gate.weight"), ("w_up", "ffn_up.weight"),
+        ("w_down", "ffn_down.weight"),
+    ]
     for i in range(cfg.n_layer):
-        b = {}
-        for short, gname in [
-            ("attn_norm", "attn_norm.weight"),
-            ("wq", "attn_q.weight"), ("wk", "attn_k.weight"),
-            ("wv", "attn_v.weight"), ("wo", "attn_output.weight"),
-            ("ffn_norm", "ffn_norm.weight"),
-            ("w_gate", "ffn_gate.weight"), ("w_up", "ffn_up.weight"),
-            ("w_down", "ffn_down.weight"),
-        ]:
-            b[short] = _to_param(r, f"blk.{i}.{gname}")
-        p["blocks"].append(b)
+        work += [((i, short), f"blk.{i}.{gname}")
+                 for short, gname in per_blk]
+    with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as ex:
+        vals = list(ex.map(lambda nm: _to_param(r, nm),
+                           [nm for _, nm in work]))
+    p = {"blocks": [{} for _ in range(cfg.n_layer)]}
+    for (dest, _), v in zip(work, vals):
+        if isinstance(dest, tuple):
+            p["blocks"][dest[0]][dest[1]] = v
+        else:
+            p[dest] = v
     from ..ops.quantized import apply_weights_layout
 
     return cfg, apply_weights_layout(p)
