@@ -296,8 +296,14 @@ def engine_sweep(llama, cfg, params, max_seq, note, extra,
             wins = [s for s, n in eng.window_log if n > 0]
             med = float(np.median(wins)) if wins else 0.0
             stalls = [s for s in wins if s > 3 * med]
+            # steady-state rate: median per-window tok/s — what a
+            # continuously-loaded server sustains once slots are full
+            # (the aggregate includes the admission ramp + final drain,
+            # ~1/3 of these 200-token runs' wall time)
+            rates = [n / s for s, n in eng.window_log if n > 0]
             runs.append({
                 "tok_s": round(toks / dt, 1),
+                "steady_tok_s": round(float(np.median(rates)), 1),
                 "stall_windows": len(stalls),
                 "stall_s": round(sum(s - med for s in stalls), 2),
                 "n_windows": len(wins),

@@ -103,6 +103,9 @@ def load(path) -> tuple[LlamaConfig, dict]:
     for i in range(cfg.n_layer):
         work += [((i, short), f"blk.{i}.{gname}")
                  for short, gname in per_blk]
+    # initialize the device BEFORE fanning out: first jax use from eight
+    # concurrent threads races client construction (observed hang)
+    jax.device_put(np.zeros(1, np.float32))
     with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as ex:
         vals = list(ex.map(lambda nm: _to_param(r, nm),
                            [nm for _, nm in work]))

@@ -152,7 +152,7 @@ def _register_cases():
         return (lambda a: ops.rope_ext(a, pos, 32, mode=ops.ROPE_TYPE_NEOX),
                 (x,))
 
-    @case("rope_yarn")
+    @case("rope_yarn", grad=True)
     def _():
         r = _rng("yarn")
         x = _f32(r, 5, 2, 64)
@@ -164,7 +164,7 @@ def _register_cases():
                                 n_ctx_orig=512)
         return f, (x,)
 
-    @case("rope_mrope")
+    @case("rope_mrope", grad=True)
     def _():
         r = _rng("mrope")
         x = _f32(r, 6, 2, 32)
@@ -184,7 +184,7 @@ def _register_cases():
         v = _f32(r, 1, 2, 65, 16)
         return (lambda a, b, c: ops.flash_attn_ext(a, b, c), (q, k, v))
 
-    @case("causal_flash_attn", nmse_max=2e-6)
+    @case("causal_flash_attn", nmse_max=2e-6, grad=True)
     def _():
         r = _rng("cfa")
         q = _f32(r, 1, 4, 1, 32)
@@ -294,6 +294,9 @@ def _register_cases():
                 _f32(r, B, H, S, S, scale=0.1))
         return ops.rwkv_wkv7, args
 
+    # grad-ineligible: returns a (y, state) tuple the directional-derivative
+    # loss can't sum directly; gradient coverage for the recurrent family
+    # lives in tests/test_grad.py
     @case("gated_linear_attn", nmse_max=1e-6)
     def _():
         r = _rng("gla")
@@ -486,7 +489,7 @@ def _register_cases():
             return jnp.concatenate([y1, y2], axis=1), s2
         return f, (s, x, dt, A, B, C)
 
-    @case("rope_mrope_vision")
+    @case("rope_mrope_vision", grad=True)
     def _():
         # vision mode: all n_dims pairs rotated, per-sector position
         # streams reset at sector starts (ref include/ggml.h M-RoPE vision)
