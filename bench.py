@@ -283,6 +283,9 @@ def engine_sweep(llama, cfg, params, max_seq, note, extra,
         eng.submit(rng2.integers(1, 1000, 24).tolist(), new)
         eng.run()
         _cfg2.set("engine_scan_window", scan0)
+        # two requests: also compiles the BATCHED admission prefill the
+        # timed floods take (engine._admit_batch)
+        eng.submit(rng2.integers(1, 1000, 24).tolist(), new)
         eng.submit(rng2.integers(1, 1000, 24).tolist(), new)
         eng.run()
         runs = []

@@ -96,6 +96,11 @@ def _set_tok(toks, b, t):
     return toks.at[b].set(t)
 
 
+@jax.jit
+def _merge_tok(toks, admitted, firsts):
+    return jnp.where(admitted, firsts, toks)
+
+
 @functools.partial(jax.jit, static_argnums=1)
 def _gather_window(kv, window):
     """Paged pool → dense window-sized BatchedKVCache, ONCE per scan
@@ -182,6 +187,30 @@ def _model_programs(mm, c, mesh):
             logits, kv_single = mm.forward(c, params, toks, kv_single,
                                            start)
             return logits, kv_single
+
+        # BATCHED admission prefill: up to all free slots' prompts in ONE
+        # forward_batch — the weight stream is paid once instead of once
+        # per request (admission ramp was ~1/3 of a 200-token b=32 run's
+        # wall time). Non-admitted slots process garbage rows into their
+        # own beyond-valid cache positions (masked by attention, then
+        # progressively overwritten by their decode writes); their logits
+        # are discarded and their lengths preserved. First tokens for the
+        # admitted slots are sampled IN-PROGRAM at counter 0 — identical
+        # keys to the single-request path.
+        @functools.partial(jax.jit, donate_argnums=2, static_argnums=8)
+        def _prefill_batch(params, toks, kv, starts, admitted, plens,
+                           seeds, samp, window):
+            temps, top_ks, top_ps = samp
+            logits, kv = mm.forward_batch(c, params, toks, kv, starts,
+                                          attn_window=window)
+            new_len = jnp.where(admitted, plens, kv.lengths)
+            rows = jnp.take_along_axis(
+                logits, jnp.maximum(plens - 1, 0)[:, None, None], 1)[:, 0]
+            keys = jax.vmap(
+                lambda s: jax.random.fold_in(jax.random.PRNGKey(s),
+                                             0))(seeds)
+            firsts = sample_batch(rows, keys, temps, top_ks, top_ps)
+            return firsts, kv.with_lengths(new_len)
     else:
         from ..parallel.tp import tp_forward, tp_forward_batch
 
@@ -213,8 +242,9 @@ def _model_programs(mm, c, mesh):
             return tp_forward(mesh, c, params, toks, kv_single, start)
 
         _decode_window = None
+        _prefill_batch = None   # mesh engines use the single-request path
 
-    progs = (_decode_step, _decode_window, _prefill_chunk)
+    progs = (_decode_step, _decode_window, _prefill_chunk, _prefill_batch)
     _MODEL_PROGRAMS[key] = progs
     return progs
 
@@ -311,8 +341,8 @@ class Engine:
         self.finished: list[Request] = []
         self._rid = itertools.count()
 
-        (self._decode_step, self._decode_window_jit,
-         self._prefill_chunk) = _model_programs(self.m, self.cfg, mesh)
+        (self._decode_step, self._decode_window_jit, self._prefill_chunk,
+         self._prefill_batch) = _model_programs(self.m, self.cfg, mesh)
         self._install = _install
         self._install_paged = _install_paged
         self._set_tok = _set_tok
@@ -423,6 +453,8 @@ class Engine:
         MODE below half occupancy — several chunks per step, because
         filling 32 slots one-per-step costs a 32-step ramp at partial
         occupancy (~6% of a 200-token serving run, measured r03)."""
+        if self._admit_batch():
+            return
         for _ in range(8):
             self._advance_admission_once()
             occ = sum(s is not None for s in self.slots)
@@ -430,6 +462,72 @@ class Engine:
                 break
             if self.pending is None and not self.queue:
                 break
+
+    def _admit_batch(self) -> bool:
+        """Admit up to min(free slots, queued) single-chunk prompts in ONE
+        batched prefill program (weights stream once per flood instead of
+        once per request — the b=32 admission ramp was ~1/3 of a 200-token
+        run's wall time). Applies only when: dense cache, no mesh, ≥2
+        eligible queued prompts taken strictly FIFO (a long prompt at the
+        head falls back to the chunked path), and no active slot is within
+        S_pad of max_seq (dynamic_update_slice would clamp the garbage
+        rows into valid cache). Token streams are identical to the
+        single-request path: same prefill rows, same (seed, counter 0)
+        first-token keys. Decision is a pure function of host state —
+        deterministic across hosts."""
+        if (self._prefill_batch is None or self.paged or self.mesh is not None
+                or self.pending is not None):
+            return False
+        free = [b for b, s in enumerate(self.slots) if s is None]
+        if len(free) < 2:
+            return False
+        reqs = []
+        while (self.queue and len(reqs) < len(free)
+               and len(self.queue[0].prompt) <= self.chunk_size):
+            reqs.append(self.queue.pop(0))
+        if len(reqs) < 2:
+            self.queue[0:0] = reqs
+            return False
+        s_pad = min(_bucket(max(len(r.prompt) for r in reqs)),
+                    self.chunk_size)
+        if int(self.host_len.max()) + s_pad > self.max_seq:
+            self.queue[0:0] = reqs
+            return False
+        slots = free[:len(reqs)]
+        toks = np.zeros((self.max_batch, s_pad), np.int32)
+        admitted = np.zeros(self.max_batch, bool)
+        plens = np.zeros(self.max_batch, np.int32)
+        seeds = np.zeros(self.max_batch, np.int32)
+        temps = np.zeros(self.max_batch, np.float32)
+        top_ks = np.ones(self.max_batch, np.int32)
+        top_ps = np.ones(self.max_batch, np.float32)
+        for b, r in zip(slots, reqs):
+            toks[b, :len(r.prompt)] = r.prompt
+            admitted[b] = True
+            plens[b] = len(r.prompt)
+            seeds[b] = r.seed
+            temps[b] = r.temp
+            top_ks[b] = r.top_k
+            top_ps[b] = r.top_p
+        starts = np.where(admitted, 0, self.host_len).astype(np.int32)
+        adm_dev = jnp.asarray(admitted)
+        firsts, self.kv = self._prefill_batch(
+            self.params, jnp.asarray(toks), self.kv, jnp.asarray(starts),
+            adm_dev, jnp.asarray(plens), jnp.asarray(seeds),
+            (jnp.asarray(temps), jnp.asarray(top_ks), jnp.asarray(top_ps)),
+            s_pad)
+        self._tok_dev = _merge_tok(self._tok_dev, adm_dev, firsts)
+        for b, r in zip(slots, reqs):
+            self.slots[b] = r
+            self.seeds[b] = r.seed
+            self.temps[b] = r.temp
+            self.top_ks[b] = r.top_k
+            self.top_ps[b] = r.top_p
+            self.counters[b] = 1
+            self.host_len[b] = len(r.prompt)
+            self._first_pending.append((r.rid, b, firsts[b]))
+        self._state_dirty = True
+        return True
 
     def _advance_admission_once(self):
         """Process at most ONE prefill chunk."""

@@ -305,3 +305,44 @@ def test_engine_paged_over_mesh_matches_single():
         config.unset("kv_page_size")
     for a, b in zip(rids, rids2):
         assert got[b] == ref[a], (got[b], ref[a])
+
+
+def test_engine_batched_admission_parity():
+    """Batched admission prefill (one forward_batch for a flood of short
+    prompts) must trigger AND keep token streams identical to the
+    single-request path / single-sequence generate; near max_seq it must
+    fall back (the dynamic_update_slice clamp would corrupt caches)."""
+    import jax.numpy as jnp
+
+    from ggml_gfx906_tpu.models import llama
+    from ggml_gfx906_tpu.runtime.engine import Engine
+
+    cfg = llama.LlamaConfig(n_vocab=128, n_ctx=128, n_embd=64, n_head=2,
+                            n_kv_head=2, n_layer=2, n_ff=128,
+                            compute_dtype=jnp.float32)
+    params = llama.random_params(cfg, seed=3)
+    eng = Engine(llama, cfg, params, max_batch=4, max_seq=128)
+    orig = eng._admit_batch
+    hits = []
+    eng._admit_batch = lambda: (hits.append(1), orig())[1]
+    for i in range(4):
+        eng.submit([5, 9, 2, i + 1], 6, temp=0.8, top_k=8, seed=11 + i)
+    done = {r.rid: r for r in eng.run()}
+    assert len(done) == 4
+    for r in done.values():
+        single = Engine(llama, cfg, params, max_batch=4, max_seq=128)
+        # single-request admission (one free-slot flood of size 1 → the
+        # batch path declines, len(reqs) < 2)
+        rid = single.submit(r.prompt, 6, temp=0.8, top_k=8, seed=r.seed)
+        (ref,) = single.run()
+        assert ref.rid == rid and r.out == ref.out, (r.out, ref.out)
+
+    # near-cap guard: an active slot within S_pad of max_seq forces the
+    # single path (no corruption of its valid cache)
+    eng2 = Engine(llama, cfg, params, max_batch=4, max_seq=32)
+    eng2.submit(list(range(1, 25)), 40)      # runs to the 32-position cap
+    eng2.run()
+    eng2.submit([1, 2], 4)
+    eng2.submit([3, 4], 4)
+    out2 = eng2.run()
+    assert all(len(r.out) > 0 for r in out2)
