@@ -101,6 +101,11 @@ def _merge_tok(toks, admitted, firsts):
     return jnp.where(admitted, firsts, toks)
 
 
+@jax.jit
+def _set_pt_rows(pt, bs, rows):
+    return pt.at[bs].set(rows)
+
+
 @functools.partial(jax.jit, static_argnums=1)
 def _gather_window(kv, window):
     """Paged pool → dense window-sized BatchedKVCache, ONCE per scan
@@ -115,6 +120,42 @@ def _absorb_window(kv, dense, starts, depth):
     # only the pool donates: the dense view is consumed by gathers whose
     # outputs don't alias its buffers (donating it just warns)
     return kv.absorb(dense, starts, depth)
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _absorb_temp(kv, temp, admitted):
+    """Install batched-admission prefill results (a fresh temp cache whose
+    first S positions hold the admitted slots' K/V) into the live DENSE
+    cache — one program for every slot/layer."""
+    S = temp.max_seq
+
+    def merge(pool, t):
+        upd = jnp.where(admitted[:, None, None, None], t.astype(pool.dtype),
+                        pool[:, :, :S])
+        return pool.at[:, :, :S].set(upd)
+
+    def merge_d(pool, t):
+        upd = jnp.where(admitted[:, None, None], t, pool[:, :, :S])
+        return pool.at[:, :, :S].set(upd)
+
+    k = tuple(merge(p, t) for p, t in zip(kv.k, temp.k))
+    v = tuple(merge(p, t) for p, t in zip(kv.v, temp.v))
+    kd, vd = kv.k_d, kv.v_d
+    if kv.quantized:
+        kd = tuple(merge_d(p, t) for p, t in zip(kd, temp.k_d))
+        vd = tuple(merge_d(p, t) for p, t in zip(vd, temp.v_d))
+    from .batched_kv import BatchedKVCache
+
+    return BatchedKVCache(k, v, kd, vd,
+                          jnp.where(admitted, temp.lengths, kv.lengths))
+
+
+@functools.partial(jax.jit, donate_argnums=0, static_argnums=3)
+def _absorb_temp_paged(kv, temp, admitted, s_pad):
+    """Paged variant: admitted slots' temp rows scatter through the page
+    table (host wrote their table rows first); others go to scratch."""
+    starts = jnp.zeros(kv.page_table.shape[0], jnp.int32)
+    return kv.absorb(temp, starts, s_pad, mask=admitted)
 
 
 @jax.jit
@@ -467,15 +508,19 @@ class Engine:
         """Admit up to min(free slots, queued) single-chunk prompts in ONE
         batched prefill program (weights stream once per flood instead of
         once per request — the b=32 admission ramp was ~1/3 of a 200-token
-        run's wall time). Applies only when: dense cache, no mesh, ≥2
-        eligible queued prompts taken strictly FIFO (a long prompt at the
-        head falls back to the chunked path), and no active slot is within
-        S_pad of max_seq (dynamic_update_slice would clamp the garbage
-        rows into valid cache). Token streams are identical to the
-        single-request path: same prefill rows, same (seed, counter 0)
-        first-token keys. Decision is a pure function of host state —
-        deterministic across hosts."""
-        if (self._prefill_batch is None or self.paged or self.mesh is not None
+        run's wall time; captured aggregate went 693 → 1033-1048 tok/s).
+        The flood prefills into a FRESH s_pad-sized temp cache (live
+        caches untouched — non-admitted rows process pad garbage whose
+        K/V land in the temp and whose logits are discarded), then one
+        absorb program installs the admitted slots' rows into the live
+        dense cache or through the paged pool's page tables. Token streams
+        are identical to the single-request path: same prefill rows, same
+        (seed, counter 0) first-token keys. Eligibility: no mesh (those
+        engines keep the single-request path), ≥2 free slots, and ≥2
+        single-chunk prompts taken strictly FIFO (a long prompt at the
+        head falls back to the chunked path). Decision is a pure function
+        of host state — deterministic across hosts."""
+        if (self._prefill_batch is None or self.mesh is not None
                 or self.pending is not None):
             return False
         free = [b for b, s in enumerate(self.slots) if s is None]
@@ -485,14 +530,29 @@ class Engine:
         while (self.queue and len(reqs) < len(free)
                and len(self.queue[0].prompt) <= self.chunk_size):
             reqs.append(self.queue.pop(0))
+        if self.paged:
+            # every admitted request needs its pages up front; trim the
+            # flood to what the free lists can seat (trimmed requests go
+            # back to the queue head in order)
+            ps = self.page_size
+            seated, budget = [], {g: len(f) for g, f in
+                                  enumerate(self._free_pages)}
+            free_iter = iter(free)
+            for r in reqs:
+                b = next(free_iter)
+                g = b // self._slots_per_group
+                need = -(-len(r.prompt) // ps)
+                if budget[g] < need:
+                    break
+                budget[g] -= need
+                seated.append(r)
+            self.queue[0:0] = reqs[len(seated):]
+            reqs = seated
         if len(reqs) < 2:
             self.queue[0:0] = reqs
             return False
         s_pad = min(_bucket(max(len(r.prompt) for r in reqs)),
                     self.chunk_size)
-        if int(self.host_len.max()) + s_pad > self.max_seq:
-            self.queue[0:0] = reqs
-            return False
         slots = free[:len(reqs)]
         toks = np.zeros((self.max_batch, s_pad), np.int32)
         admitted = np.zeros(self.max_batch, bool)
@@ -509,13 +569,40 @@ class Engine:
             temps[b] = r.temp
             top_ks[b] = r.top_k
             top_ps[b] = r.top_p
-        starts = np.where(admitted, 0, self.host_len).astype(np.int32)
         adm_dev = jnp.asarray(admitted)
-        firsts, self.kv = self._prefill_batch(
-            self.params, jnp.asarray(toks), self.kv, jnp.asarray(starts),
-            adm_dev, jnp.asarray(plens), jnp.asarray(seeds),
+        kvh = getattr(self.cfg, "n_kv_head", None) or self.cfg.n_head
+        temp = BatchedKVCache.create(
+            self.cfg.n_layer, self.max_batch, s_pad, kvh,
+            self.cfg.head_dim, dtype=self.cfg.compute_dtype,
+            quant=self.kv_quant)
+        firsts, temp = self._prefill_batch(
+            self.params, jnp.asarray(toks), temp,
+            jnp.zeros(self.max_batch, jnp.int32), adm_dev,
+            jnp.asarray(plens), jnp.asarray(seeds),
             (jnp.asarray(temps), jnp.asarray(top_ks), jnp.asarray(top_ps)),
             s_pad)
+        if self.paged:
+            ps = self.page_size
+            ups = []
+            for b, r in zip(slots, reqs):
+                g = b // self._slots_per_group
+                base = self.kv.group_base(g)
+                n_need = -(-len(r.prompt) // ps)
+                local = [self._free_pages[g].pop() for _ in range(n_need)]
+                self._slot_pages[b] = local
+                row = np.full(self.kv.page_table.shape[1],
+                              self.kv.scratch_page, np.int32)
+                row[:n_need] = local
+                del base
+                ups.append((b, row))
+            bs = np.asarray([u[0] for u in ups], np.int32)
+            rows = np.asarray([u[1] for u in ups], np.int32)
+            self.kv = self.kv.with_page_table(
+                _set_pt_rows(self.kv.page_table, jnp.asarray(bs),
+                             jnp.asarray(rows)))
+            self.kv = _absorb_temp_paged(self.kv, temp, adm_dev, s_pad)
+        else:
+            self.kv = _absorb_temp(self.kv, temp, adm_dev)
         self._tok_dev = _merge_tok(self._tok_dev, adm_dev, firsts)
         for b, r in zip(slots, reqs):
             self.slots[b] = r

@@ -174,22 +174,32 @@ class PagedKVCache:
         return BatchedKVCache(tuple(ks), tuple(vs), tuple(kds), tuple(vds),
                               self.lengths)
 
-    def absorb(self, dense, starts: jax.Array, depth: int) -> "PagedKVCache":
-        """Scatter a window's new rows back from the dense working cache:
-        positions starts[b] .. starts[b]+depth-1 of every layer (the only
-        rows the window wrote), routed through the page table. Freed or
-        inactive slots' tables point at the scratch page, so their junk
-        writes land where the pool already ignores them."""
+    def absorb(self, dense, starts: jax.Array, depth: int,
+               mask: jax.Array | None = None) -> "PagedKVCache":
+        """Scatter rows back from a dense working cache: positions
+        starts[b] .. starts[b]+depth-1 of every layer, routed through the
+        page table. Freed or inactive slots' tables point at the scratch
+        page, so their junk writes land where the pool already ignores
+        them.
+
+        mask (B,) bool: when given, only masked slots' rows land in real
+        pages (others are redirected to the scratch page) and only their
+        lengths are taken from `dense` — the batched-admission install
+        path (runtime/engine.py::_admit_batch); mask=None is the
+        scan-window flow where `dense` IS the live cache. dp>1 pools are
+        only driven through the per-step path (mesh engines have no scan),
+        so the group-local page-table values equal global pool ids here."""
         ps = self.page_size
-        B = self.page_table.shape[0]
         pos = starts[:, None] + jnp.arange(depth, dtype=jnp.int32)[None]
         pos = jnp.minimum(pos, self.max_seq - 1)            # (B, depth)
         pages = jnp.take_along_axis(self.page_table, pos // ps, 1)
+        if mask is not None:
+            pages = jnp.where(mask[:, None], pages,
+                              jnp.int32(self.scratch_page))
         offs = pos % ps
-        b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
 
         def scat(pool, buf):
-            # buf (B, H, W, D) → rows (B, depth, H, D) at the window tail
+            # buf (B, H, W, D) → rows (B, depth, H, D)
             rows = jnp.take_along_axis(
                 buf, pos[:, None, :, None].astype(jnp.int32), 2)
             rows = jnp.transpose(rows, (0, 2, 1, 3))
@@ -200,14 +210,15 @@ class PagedKVCache:
             rows = jnp.transpose(rows, (0, 2, 1))
             return pool.at[pages, :, offs].set(rows)
 
-        del b_idx
         k = tuple(scat(p, b) for p, b in zip(self.k, dense.k))
         v = tuple(scat(p, b) for p, b in zip(self.v, dense.v))
         kd, vd = self.k_d, self.v_d
         if self.quantized:
             kd = tuple(scat_d(p, b) for p, b in zip(kd, dense.k_d))
             vd = tuple(scat_d(p, b) for p, b in zip(vd, dense.v_d))
-        return PagedKVCache(k, v, kd, vd, self.page_table, dense.lengths,
+        lengths = (dense.lengths if mask is None
+                   else jnp.where(mask, dense.lengths, self.lengths))
+        return PagedKVCache(k, v, kd, vd, self.page_table, lengths,
                             self.page_size, self.dp)
 
     def update_layer(self, layer: int, k_new: jax.Array, v_new: jax.Array,

@@ -2,6 +2,7 @@
 generate token-for-token (the correctness bar for request batching,
 ref main-batched.cpp behaviour)."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from ggml_gfx906_tpu.models import llama
@@ -346,3 +347,37 @@ def test_engine_batched_admission_parity():
     eng2.submit([3, 4], 4)
     out2 = eng2.run()
     assert all(len(r.out) > 0 for r in out2)
+
+
+@pytest.mark.parametrize("kvq", [False, True])
+def test_engine_batched_admission_paged_parity(kvq):
+    """Batched admission composes with the paged pool (and int8 KV): a
+    flood admitted through the temp-cache prefill + page-table absorb must
+    match the dense engine token-for-token."""
+    import jax.numpy as jnp
+
+    from ggml_gfx906_tpu.models import llama
+    from ggml_gfx906_tpu.runtime.engine import Engine
+    from ggml_gfx906_tpu.utils import config
+
+    cfg = llama.LlamaConfig(n_vocab=128, n_ctx=128, n_embd=64, n_head=2,
+                            n_kv_head=2, n_layer=2, n_ff=128,
+                            compute_dtype=jnp.float32)
+    params = llama.random_params(cfg, seed=3)
+    config.set("kv_quant", kvq)
+    try:
+        outs = {}
+        for label, pages in (("dense", None), ("paged", 16)):
+            eng = Engine(llama, cfg, params, max_batch=4, max_seq=64,
+                         paged_pages=pages)
+            hits = []
+            orig = eng._admit_batch
+            eng._admit_batch = lambda o=orig: (hits.append(1), o())[1]
+            for i in range(4):
+                eng.submit([7, 3, 2, i + 1], 6, temp=0.7, top_k=6,
+                           seed=21 + i)
+            outs[label] = {r.rid: r.out for r in eng.run()}
+            assert hits, f"batch path never consulted ({label})"
+        assert outs["dense"] == outs["paged"], outs
+    finally:
+        config.set("kv_quant", False)
