@@ -70,6 +70,23 @@ class _Pending:
     first: object = None         # device first-token once prefill completes
 
 
+class _Firsts:
+    """A batched-admission flood's first-token vector, fetched ONCE at
+    harvest and shared by every admitted request's pending record (a
+    per-request device-scalar fetch costs a full ~20-36 ms round trip —
+    32 of them per flood)."""
+
+    def __init__(self, dev):
+        self._dev = dev
+        self._np = None
+
+    def item(self, b: int) -> int:
+        if self._np is None:
+            self._np = np.asarray(self._dev)
+            self._dev = None
+        return int(self._np[b])
+
+
 # -- shared jitted programs (cross-instance program cache) -----------------
 # Every Engine used to build its jit closures in __init__, so each new
 # instance recompiled the decode/window/prefill programs (20-40 s each on
@@ -604,6 +621,7 @@ class Engine:
         else:
             self.kv = _absorb_temp(self.kv, temp, adm_dev)
         self._tok_dev = _merge_tok(self._tok_dev, adm_dev, firsts)
+        shared_firsts = _Firsts(firsts)
         for b, r in zip(slots, reqs):
             self.slots[b] = r
             self.seeds[b] = r.seed
@@ -612,7 +630,7 @@ class Engine:
             self.top_ps[b] = r.top_p
             self.counters[b] = 1
             self.host_len[b] = len(r.prompt)
-            self._first_pending.append((r.rid, b, firsts[b]))
+            self._first_pending.append((r.rid, b, shared_firsts))
         self._state_dirty = True
         return True
 
@@ -805,7 +823,9 @@ class Engine:
             for rid, b, tok_dev in firsts:
                 r = self.slots[b]
                 if r is not None and r.rid == rid:
-                    r.out.append(int(tok_dev))
+                    r.out.append(tok_dev.item(b)
+                                 if isinstance(tok_dev, _Firsts)
+                                 else int(tok_dev))
                     self._check_done(b)
         for row, snap in zip(rows, snaps):
             for b, rid in enumerate(snap):
