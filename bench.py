@@ -268,6 +268,14 @@ def engine_sweep(llama, cfg, params, max_seq, note, extra,
     _cfg.set("engine_min_window", 256)
 
     def run_cfg(label, b, seq, new, paged_pages=None, repeats=2):
+        try:
+            return _run_cfg(label, b, seq, new, paged_pages, repeats)
+        except Exception as e:  # noqa: BLE001 — a config must not kill the record
+            note(f"  {label}: FAILED {type(e).__name__}: {str(e)[:120]}")
+            extra[f"engine_runs_{label}"] = [{"error": str(e)[:200]}]
+            return 0.0
+
+    def _run_cfg(label, b, seq, new, paged_pages, repeats):
         from ggml_gfx906_tpu.utils import config as _cfg2
 
         eng = Engine(llama, cfg, params, max_batch=b, max_seq=seq,
@@ -320,29 +328,33 @@ def engine_sweep(llama, cfg, params, max_seq, note, extra,
 
     b8 = run_cfg("b8", 8, max_seq, n_new8)
     b16 = run_cfg("b16", 16, 256, n_new)
+    # the PAGED configs run FIRST among the b=32 legs: the scan path's
+    # window-gather flow holds pool + dense window view + weights
+    # (~15.3 GB at this shape) and wants the cleanest allocator state —
+    # max_seq stays 1024 because pool HBM scales with live tokens
+    # (<=224/slot -> 4 pages)
+    b32p = run_cfg("b32_paged", 32, min(1024, max_seq * 4), n_new,
+                   paged_pages=128)
+    # quantized KV: with the postscale attention formulation
+    # (ops/attention._causal_postscale) the int8 cache streams directly
+    # into the dots (it used to LOSE 26% via dequant-materialization;
+    # now ~-9% steady-state). Measured on the DENSE cache (the VERDICT
+    # criterion config) and on the paged pool (composition).
+    _cfg.set("kv_quant", True)
+    try:
+        b32pq = run_cfg("b32_paged_kvq", 32, min(1024, max_seq * 4), n_new,
+                        paged_pages=128)
+    finally:
+        _cfg.set("kv_quant", False)
     # r03 profiling (scripts/exp_engine_profile.py): the batched step costs
     # only ~8% over single-stream and in-program top-k sampling is free, so
     # aggregate throughput scales with slot count until the (MHA) KV read
     # dominates — at b=32/window 256 the cache stream is ~2x the weight
     # stream; that is physics, not overhead. GQA models scale further.
     b32 = run_cfg("b32", 32, 256, n_new)
-    # the PAGED pool replaces the dense max_seq=256 workaround (the dense
-    # 32-slot 1024-seq slab OOMs beside the weights): HBM scales with live
-    # tokens (<=224/slot -> 4 pages), so max_seq stays 1024
-    b32p = run_cfg("b32_paged", 32, min(1024, max_seq * 4), n_new,
-                   paged_pages=128)
-    # quantized KV: with the postscale attention formulation
-    # (ops/attention._causal_postscale) the int8 cache streams directly
-    # into the dots, so at b=32 — where the KV read is ~2x the weight
-    # stream — kv_quant must GAIN throughput (VERDICT r03 #2 done
-    # criterion; it used to LOSE 26% via dequant-materialization).
-    # Measured on the DENSE cache (the criterion's config) and on the
-    # paged pool (composition).
     _cfg.set("kv_quant", True)
     try:
         b32q = run_cfg("b32_kvq", 32, 256, n_new)
-        b32pq = run_cfg("b32_paged_kvq", 32, min(1024, max_seq * 4), n_new,
-                        paged_pages=128)
     finally:
         _cfg.set("kv_quant", False)
         _cfg.set("engine_min_window", min_window0)
@@ -533,6 +545,7 @@ def bench_llama7b():
     # aggregate serving throughput: the continuous-batching engine
     # (chunked prefill + batched sampled decode in one program per
     # step; per-step host fetch included — the production serving number)
+    del kv, tok, logits   # free the single-stream cache before the sweep
     note("engine throughput (b=8/16/32 sweep)...")
     engine_tok_s, engine_tok_s_b16, engine_tok_s_b32 = engine_sweep(
         llama, cfg, params, max_seq, note, extra)
