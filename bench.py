@@ -168,10 +168,18 @@ def quality_7b(cfg, kernel_params, int8_params, note):
     note("7B ppl gate: served int8...")
     ppl_8 = perplexity.perplexity_llama(cfg, int8_params, corpus,
                                         n_ctx=512)["ppl"]
+    delta = abs(ppl_8 - ppl_q) / ppl_q
+    # ENFORCED bound (ADVICE r04: 'gate' must gate, not just report): the
+    # bench leg fails loudly — recorded in the JSON and shouted on stderr —
+    # when the served layout drifts past the same <=1% relative delta the
+    # in-suite toy gate asserts (tests/test_served_quality.py).
+    if delta > 0.01:
+        note(f"7B ppl GATE FAILED: rel delta {delta:.4f} > 0.01")
     return {
         "ppl7b_q4k_exact": round(ppl_q, 4),
         "ppl7b_served_int8": round(ppl_8, 4),
-        "ppl7b_rel_delta": round(abs(ppl_8 - ppl_q) / ppl_q, 6),
+        "ppl7b_rel_delta": round(delta, 6),
+        "ppl7b_gate_ok": bool(delta <= 0.01),
     }
 
 
@@ -288,9 +296,13 @@ def engine_sweep(llama, cfg, params, max_seq, note, extra,
         # until the scan-off warmup pass was added.
         scan0 = bool(_cfg2.get("engine_scan_window"))
         _cfg2.set("engine_scan_window", False)
-        eng.submit(rng2.integers(1, 1000, 24).tolist(), new)
-        eng.run()
-        _cfg2.set("engine_scan_window", scan0)
+        try:
+            # run_cfg swallows per-config exceptions, so a failure here must
+            # not leave scan disabled for every LATER config (ADVICE r04)
+            eng.submit(rng2.integers(1, 1000, 24).tolist(), new)
+            eng.run()
+        finally:
+            _cfg2.set("engine_scan_window", scan0)
         # two requests: also compiles the BATCHED admission prefill the
         # timed floods take (engine._admit_batch)
         eng.submit(rng2.integers(1, 1000, 24).tolist(), new)

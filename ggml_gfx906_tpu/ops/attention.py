@@ -96,13 +96,18 @@ def _causal_postscale(q, k8, v8, kd, vd, pos, scale, softcap):
     KVH, M = k8.shape[1], k8.shape[2]
     rep = H // KVH
     dot_t = jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
+    # f32 compute must not silently truncate q to bf16 in the MXU dots —
+    # attention_ref runs HIGHEST for f32 and the parity thresholds assume
+    # it (ADVICE r04; CPU tests pass either way, TPU default is bf16)
+    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     # group query heads by their kv head instead of repeating the int8
     # cache (a repeat would materialize the expanded cache to HBM):
     # q head h uses kv head h // rep, so the (H, N) axes flatten to
     # (KVH, rep*N) rows with row j of group kvh at query offset j % N
     qg = q.reshape(B, KVH, rep * N, D)
     s = jnp.einsum("bhnd,bhmd->bhnm", qg.astype(dot_t), k8.astype(dot_t),
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32, precision=prec)
     s = s * (kd[:, :, None, :] * jnp.float32(scale))
     if softcap != 0.0:
         s = jnp.tanh(s * (1.0 / softcap)) * softcap
@@ -115,7 +120,7 @@ def _causal_postscale(q, k8, v8, kd, vd, pos, scale, softcap):
     p = jax.nn.softmax(s + mask, axis=-1)
     pv = (p * vd[:, :, None, :]).astype(dot_t)
     out = jnp.einsum("bhnm,bhmd->bhnd", pv, v8.astype(dot_t),
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32, precision=prec)
     return out.reshape(B, H, N, D).astype(q.dtype)
 
 

@@ -458,15 +458,13 @@ class Engine:
             while (self.queue or self.pending
                    or any(s is not None for s in self.slots)):
                 t0 = _time.perf_counter()
-                n0 = sum(len(r.out) for r in self.finished)
-                self.step()
-                self.window_log.append(
-                    (_time.perf_counter() - t0,
-                     sum(len(r.out) for r in self.finished) - n0))
+                n = self.step()
+                self.window_log.append((_time.perf_counter() - t0, n))
                 flush()
             out, self.finished = self.finished, []
             return out
         prev = None
+        carry_n = 0   # first-tokens harvested before any window was logged
         t_win = _time.perf_counter()
         while True:
             work = bool(self.queue or self.pending
@@ -475,13 +473,14 @@ class Engine:
                             else (None, None))
             if prev:
                 stacked, snaps = prev
-                rows = np.asarray(stacked)
-                self._harvest(rows, snaps)
+                n = carry_n + self._harvest(np.asarray(stacked), snaps)
+                carry_n = 0
                 now = _time.perf_counter()
-                self.window_log.append((now - t_win, int(rows.size)))
+                self.window_log.append((now - t_win, n))
                 t_win = now
             elif self._first_pending:
-                self._harvest(np.zeros((0, self.max_batch), np.int32), [])
+                carry_n += self._harvest(
+                    np.zeros((0, self.max_batch), np.int32), [])
             flush()
             prev = cur
             if aborted is not None:
@@ -568,8 +567,13 @@ class Engine:
         if len(reqs) < 2:
             self.queue[0:0] = reqs
             return False
+        # max_seq joins the clamp: with a non-power-of-two max_seq a
+        # near-cap prompt's bucket can exceed it, making the temp cache
+        # wider than the live cache (_absorb_temp shape mismatch / paged
+        # duplicate-writes at clamped positions — ADVICE r04). Prompts are
+        # < max_seq (submit() enforces it), so they always fit.
         s_pad = min(_bucket(max(len(r.prompt) for r in reqs)),
-                    self.chunk_size)
+                    self.chunk_size, self.max_seq)
         slots = free[:len(reqs)]
         toks = np.zeros((self.max_batch, s_pad), np.int32)
         admitted = np.zeros(self.max_batch, bool)
@@ -809,8 +813,12 @@ class Engine:
         self.host_len += active
         return nxt, [r.rid if r is not None else None for r in self.slots]
 
-    def _harvest(self, rows, snaps):
-        """Apply fetched token rows to host bookkeeping. Rows belonging to a
+    def _harvest(self, rows, snaps) -> int:
+        """Apply fetched token rows to host bookkeeping; returns the number
+        of tokens ACCEPTED (active slots whose rid matches the dispatch
+        snapshot) — the per-window throughput count the stall detector and
+        steady-state metric consume (inactive slots and rid-discarded
+        columns must not inflate it; ADVICE r04). Rows belonging to a
         slot whose request completed earlier in the window (rid mismatch or
         freed slot) are discarded — the outputs match depth-1 exactly.
 
@@ -818,6 +826,7 @@ class Engine:
         first token always precedes its decode rows (rows dispatched before
         its installation carry the previous occupant's rid and are
         discarded by the snapshot check)."""
+        n = 0
         if self._first_pending:
             firsts, self._first_pending = self._first_pending, []
             for rid, b, tok_dev in firsts:
@@ -826,24 +835,28 @@ class Engine:
                     r.out.append(tok_dev.item(b)
                                  if isinstance(tok_dev, _Firsts)
                                  else int(tok_dev))
+                    n += 1
                     self._check_done(b)
         for row, snap in zip(rows, snaps):
             for b, rid in enumerate(snap):
                 r = self.slots[b]
                 if r is not None and r.rid == rid:
                     r.out.append(int(row[b]))
+                    n += 1
                     self._check_done(b)
+        return n
 
-    def step(self):
+    def step(self) -> int:
         """One engine iteration: one admission chunk, one batched decode,
-        immediate harvest (depth-1 cadence — one token per active slot)."""
+        immediate harvest (depth-1 cadence — one token per active slot).
+        Returns the number of tokens harvested this step."""
         abort.check()   # cooperative-cancel poll point (utils/abort.py)
         self._advance_admission()
         d = self._dispatch()
         if d is None:
-            return
+            return 0
         nxt, snap = d
-        self._harvest(np.asarray(nxt)[None], [snap])
+        return self._harvest(np.asarray(nxt)[None], [snap])
 
     def _dispatch_scan(self, depth: int):
         """Dispatch one `depth`-step scan-window program (see
