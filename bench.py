@@ -482,26 +482,37 @@ def bench_llama7b():
     t0 = time.time()
     gpath = ensure_bench_gguf(cfg)
     extra["gguf_write_s"] = round(time.time() - t0, 1)
-    note(f"loading {gpath.name} ({gpath.stat().st_size/1e9:.2f} GB file)...")
+
+    # TTFT (VERDICT r04 missing #4): ONE load straight to the int8
+    # execution layout — per-tensor conversion inside the load pool on a
+    # cold cache, mmap-back of the persisted layout on a warm one
+    # (runtime/weight_cache.py). relayout_s is 0 by construction: the
+    # transform is folded into (or skipped by) the load itself.
+    from ggml_gfx906_tpu.runtime import weight_cache
+
+    warm = weight_cache.lookup(gpath) is not None
+    note(f"loading {gpath.name} ({gpath.stat().st_size/1e9:.2f} GB file) "
+         f"→ int8 execution layout (cache {'warm' if warm else 'cold'})...")
     t0 = time.time()
-    lcfg, kparams = llama.load(gpath)      # wire → kernel layout → device
-    sync_tree(kparams)
-    extra["load_s"] = round(time.time() - t0, 1)
-    cfg = dataclasses.replace(lcfg, compute_dtype=jnp.bfloat16)
-    note(f"loaded in {extra['load_s']}s; re-layout to int8 execution...")
-    t0 = time.time()
-    params = jax.tree.map(
-        lambda t: to_int8_layout(t) if isinstance(t, QuantTensor) else t,
-        kparams, is_leaf=lambda t: isinstance(t, QuantTensor))
+    lcfg, params = llama.load(gpath, layout="int8")
     sync_tree(params)
-    extra["relayout_s"] = round(time.time() - t0, 1)
+    extra["load_s"] = round(time.time() - t0, 1)
+    extra["relayout_s"] = 0.0
+    extra["int8_cache_warm"] = warm
+    cfg = dataclasses.replace(lcfg, compute_dtype=jnp.bfloat16)
     wbytes = sum(t.nbytes for t in jax.tree.leaves(
         params, is_leaf=lambda x: isinstance(x, QuantTensor))
         if hasattr(t, "nbytes"))
-    note(f"re-laid out in {extra['relayout_s']}s "
+    note(f"loaded in {extra['load_s']}s "
          f"({wbytes/1e9:.2f} GB execution layout)")
 
-    # 7B-shape served-quality gate, then free the exact-layout tree
+    # 7B-shape served-quality gate needs the exact-Q4_K tree as well —
+    # loaded separately so the gate's cost never pollutes the TTFT number
+    note("gate load (exact Q4_K kernel layout)...")
+    t0 = time.time()
+    _, kparams = llama.load(gpath, layout="kernel")
+    sync_tree(kparams)
+    extra["gate_load_s"] = round(time.time() - t0, 1)
     extra.update(quality_7b(cfg, kparams, params, note))
     del kparams, lcfg
 

@@ -58,7 +58,15 @@ def _to_param(reader: GGUFReader, name: str):
     return jnp.asarray(reader.tensor_float(name))
 
 
-def load(path) -> tuple[LlamaConfig, dict]:
+def load(path, layout: str | None = None) -> tuple[LlamaConfig, dict]:
+    """layout: execution layout override — None consults config
+    "weights_layout" ('auto' resolves via utils/autotune.choose). The
+    'int8' path converts per-tensor INSIDE the load thread pool (one pass
+    over the file, no second full-tree sweep) and persists the result in
+    a write-once disk cache beside the GGUF (runtime/weight_cache.py) —
+    later loads mmap it back and skip the transform entirely (the
+    reference's mmap + repack-at-load, src/gguf.cpp:319 +
+    src/ggml-cpu/repack.cpp, extended to persist the repack)."""
     r = GGUFReader(path)
     arch = r.kv.get("general.architecture")
     if arch != ARCH:
@@ -106,18 +114,46 @@ def load(path) -> tuple[LlamaConfig, dict]:
     # initialize the device BEFORE fanning out: first jax use from eight
     # concurrent threads races client construction (observed hang)
     jax.device_put(np.zeros(1, np.float32))
+    from ..utils import config as _config
+
+    eff = layout or _config.get("weights_layout")
+    if eff == "auto":
+        from ..utils import autotune
+
+        eff = autotune.choose()
+    if eff == "int8":
+        from ..ops.quantized import to_int8_layout
+        from ..runtime import weight_cache
+
+        cached = weight_cache.lookup(path)
+
+        def mk(nm):
+            if cached is not None and nm in cached:
+                return cached[nm]()          # mmap → upload, no transform
+            v = _to_param(r, nm)
+            return to_int8_layout(v) if isinstance(v, QuantTensor) else v
+    else:
+        cached = "n/a"
+
+        def mk(nm):
+            return _to_param(r, nm)
+
     with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as ex:
-        vals = list(ex.map(lambda nm: _to_param(r, nm),
-                           [nm for _, nm in work]))
+        vals = list(ex.map(mk, [nm for _, nm in work]))
     p = {"blocks": [{} for _ in range(cfg.n_layer)]}
     for (dest, _), v in zip(work, vals):
         if isinstance(dest, tuple):
             p["blocks"][dest[0]][dest[1]] = v
         else:
             p[dest] = v
+    if eff == "int8":
+        if cached is None:   # first int8 load: persist for the next one
+            weight_cache.store(path, {nm: v for (_, nm), v in zip(work, vals)
+                                      if isinstance(v, QuantTensor)})
+        return cfg, p
     from ..ops.quantized import apply_weights_layout
 
-    return cfg, apply_weights_layout(p)
+    return cfg, apply_weights_layout(p, layout=eff)
 
 
 def _rms(x, g, eps):
