@@ -275,15 +275,37 @@ def engine_sweep(llama, cfg, params, max_seq, note, extra,
     min_window0 = int(_cfg.get("engine_min_window"))
     _cfg.set("engine_min_window", 256)
 
-    def run_cfg(label, b, seq, new, paged_pages=None, repeats=2):
+    def run_cfg(label, b, seq, new, paged_pages=None, repeats=2,
+                prompt_len=24, min_window=None, depth=None):
         try:
-            return _run_cfg(label, b, seq, new, paged_pages, repeats)
+            return _run_cfg(label, b, seq, new, paged_pages, repeats,
+                            prompt_len, min_window, depth)
         except Exception as e:  # noqa: BLE001 — a config must not kill the record
             note(f"  {label}: FAILED {type(e).__name__}: {str(e)[:120]}")
             extra[f"engine_runs_{label}"] = [{"error": str(e)[:200]}]
             return 0.0
 
-    def _run_cfg(label, b, seq, new, paged_pages, repeats):
+    def _run_cfg(label, b, seq, new, paged_pages, repeats,
+                 prompt_len=24, min_window=None, depth=None):
+        from ggml_gfx906_tpu.utils import config as _cfg2
+
+        # per-config overrides (long-window legs pin the bucket to the
+        # window; the depth knob exposes the paged gather's 1/depth
+        # amortization), restored in the finally below
+        mw0 = int(_cfg2.get("engine_min_window"))
+        dep0 = int(_cfg2.get("engine_harvest_depth"))
+        if min_window is not None:
+            _cfg2.set("engine_min_window", min_window)
+        if depth is not None:
+            _cfg2.set("engine_harvest_depth", depth)
+        try:
+            return _run_cfg_inner(label, b, seq, new, paged_pages, repeats,
+                                  prompt_len)
+        finally:
+            _cfg2.set("engine_min_window", mw0)
+            _cfg2.set("engine_harvest_depth", dep0)
+
+    def _run_cfg_inner(label, b, seq, new, paged_pages, repeats, prompt_len):
         from ggml_gfx906_tpu.utils import config as _cfg2
 
         eng = Engine(llama, cfg, params, max_batch=b, max_seq=seq,
@@ -299,19 +321,19 @@ def engine_sweep(llama, cfg, params, max_seq, note, extra,
         try:
             # run_cfg swallows per-config exceptions, so a failure here must
             # not leave scan disabled for every LATER config (ADVICE r04)
-            eng.submit(rng2.integers(1, 1000, 24).tolist(), new)
+            eng.submit(rng2.integers(1, 1000, prompt_len).tolist(), new)
             eng.run()
         finally:
             _cfg2.set("engine_scan_window", scan0)
         # two requests: also compiles the BATCHED admission prefill the
         # timed floods take (engine._admit_batch)
-        eng.submit(rng2.integers(1, 1000, 24).tolist(), new)
-        eng.submit(rng2.integers(1, 1000, 24).tolist(), new)
+        eng.submit(rng2.integers(1, 1000, prompt_len).tolist(), new)
+        eng.submit(rng2.integers(1, 1000, prompt_len).tolist(), new)
         eng.run()
         runs = []
         for _ in range(repeats):
             for _ in range(b):
-                eng.submit(rng2.integers(1, 1000, 24).tolist(), new)
+                eng.submit(rng2.integers(1, 1000, prompt_len).tolist(), new)
             t0 = time.time()
             done = eng.run()
             dt = time.time() - t0
@@ -358,6 +380,14 @@ def engine_sweep(llama, cfg, params, max_seq, note, extra,
                         paged_pages=128)
     finally:
         _cfg.set("kv_quant", False)
+    # EQUAL-CONFIG paged tax (VERDICT r04 weak #1: the r04 paged/dense
+    # pair was confounded — paged ran 4x the capacity): paged-256 vs
+    # dense-256, same slots, same window, same workload; plus the same
+    # config at harvest depth 16, where the once-per-window pool gather
+    # amortizes over 2x the steps (tax ~ 1/depth by construction)
+    b32p256 = run_cfg("b32_paged256", 32, 256, n_new, paged_pages=128)
+    b32p256d = run_cfg("b32_paged256_d16", 32, 256, n_new,
+                       paged_pages=128, depth=16)
     # r03 profiling (scripts/exp_engine_profile.py): the batched step costs
     # only ~8% over single-stream and in-program top-k sampling is free, so
     # aggregate throughput scales with slot count until the (MHA) KV read
@@ -369,11 +399,38 @@ def engine_sweep(llama, cfg, params, max_seq, note, extra,
         b32q = run_cfg("b32_kvq", 32, 256, n_new)
     finally:
         _cfg.set("kv_quant", False)
+    # LONG-WINDOW legs (VERDICT r04 missing #2): decode with the window
+    # genuinely at 512 — prompts 440 + 64 new fills it — where the KV
+    # stream is ~0.6x the weight stream and int8 KV must finally WIN.
+    # b=16 dense bf16 at window 1024 would need 8.6 GB of cache (+6.9
+    # weights) and OOMs this 16 GB chip; 512 is the largest equal-pair
+    # window that fits dense bf16.
+    b16w = run_cfg("b16_w512", 16, 512, 64, prompt_len=440,
+                   min_window=512)
+    _cfg.set("kv_quant", True)
+    try:
+        b16wq = run_cfg("b16_w512_kvq", 16, 512, 64, prompt_len=440,
+                        min_window=512)
+    finally:
+        _cfg.set("kv_quant", False)
         _cfg.set("engine_min_window", min_window0)
     extra["engine_tok_s_b32_dense256"] = b32
     extra["engine_tok_s_b32_kvq"] = b32q
     extra["engine_tok_s_b32_paged"] = b32p
     extra["engine_tok_s_b32_paged_kvq"] = b32pq
+    extra["engine_tok_s_b32_paged256"] = b32p256
+    extra["engine_tok_s_b32_paged256_d16"] = b32p256d
+    extra["engine_tok_s_b16_w512"] = b16w
+    extra["engine_tok_s_b16_w512_kvq"] = b16wq
+    if b32 > 0 and b32p256 > 0:
+        extra["paged_tax_equal_pct"] = round(100 * (1 - b32p256 / b32), 1)
+        extra["paged_tax_equal_d16_pct"] = round(
+            100 * (1 - b32p256d / b32), 1)
+    if b16w > 0 and b16wq > 0:
+        extra["kvq_w512_gain_pct"] = round(100 * (b16wq / b16w - 1), 1)
+    # capacity-true headline (VERDICT r04 #7): best b=32 config that can
+    # actually hold 1024-token contexts
+    extra["engine_tok_s_b32_cap1024"] = max(b32p, b32pq)
     return b8, b16, max(b32, b32p, b32q, b32pq)
 
 
