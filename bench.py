@@ -541,21 +541,19 @@ def bench_llama7b():
     extra["gguf_write_s"] = round(time.time() - t0, 1)
 
     # TTFT (VERDICT r04 missing #4): ONE load straight to the int8
-    # execution layout — per-tensor conversion inside the load pool on a
-    # cold cache, mmap-back of the persisted layout on a warm one
-    # (runtime/weight_cache.py). relayout_s is 0 by construction: the
-    # transform is folded into (or skipped by) the load itself.
-    from ggml_gfx906_tpu.runtime import weight_cache
-
-    warm = weight_cache.lookup(gpath) is not None
+    # execution layout — raw wire bytes upload in flat chunks and the
+    # dequant+requant runs ON DEVICE in jitted per-shape programs
+    # (models/llama.load layout='int8'; programs replay from the
+    # persistent XLA cache across runs). relayout_s is 0 by construction:
+    # the transform is folded into the load, whose floor is uploaded
+    # bytes / the ~45-50 MB/s host→device tunnel wall.
     note(f"loading {gpath.name} ({gpath.stat().st_size/1e9:.2f} GB file) "
-         f"→ int8 execution layout (cache {'warm' if warm else 'cold'})...")
+         f"→ int8 execution layout (on-device conversion)...")
     t0 = time.time()
     lcfg, params = llama.load(gpath, layout="int8")
     sync_tree(params)
     extra["load_s"] = round(time.time() - t0, 1)
     extra["relayout_s"] = 0.0
-    extra["int8_cache_warm"] = warm
     cfg = dataclasses.replace(lcfg, compute_dtype=jnp.bfloat16)
     wbytes = sum(t.nbytes for t in jax.tree.leaves(
         params, is_leaf=lambda x: isinstance(x, QuantTensor))

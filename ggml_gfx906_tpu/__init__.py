@@ -18,3 +18,10 @@ Layer map (mirrors reference SURVEY.md §1, re-architected for TPU):
 """
 
 __version__ = "0.1.0"
+
+# process-spanning XLA compile reuse (config "xla_cache_dir" to relocate or
+# disable) — the build-time-precompile role of the reference's CMake kernels
+from .utils import xla_cache as _xla_cache
+
+_xla_cache.ensure()
+del _xla_cache

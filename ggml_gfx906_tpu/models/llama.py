@@ -61,12 +61,18 @@ def _to_param(reader: GGUFReader, name: str):
 def load(path, layout: str | None = None) -> tuple[LlamaConfig, dict]:
     """layout: execution layout override — None consults config
     "weights_layout" ('auto' resolves via utils/autotune.choose). The
-    'int8' path converts per-tensor INSIDE the load thread pool (one pass
-    over the file, no second full-tree sweep) and persists the result in
-    a write-once disk cache beside the GGUF (runtime/weight_cache.py) —
-    later loads mmap it back and skip the transform entirely (the
-    reference's mmap + repack-at-load, src/gguf.cpp:319 +
-    src/ggml-cpu/repack.cpp, extended to persist the repack)."""
+    'int8' path is the minimum-transfer production load: raw wire bytes of
+    consecutive tensors concatenate into flat chunks (config
+    "load_chunk_mb") uploaded as single 1-D transfers, then each tensor is
+    sliced, dequantized, and requantized into the tile-major int8
+    execution layout ON DEVICE (ops/quantized.wire_bytes_to_int8). The
+    host→device tunnel caps at ~45-50 MB/s (measured, docs/PERFORMANCE.md)
+    so TTFT is floored by uploaded bytes — raw wire (4.5 bpw for Q4_K) is
+    the minimum possible payload. A persisted-int8 disk cache was measured
+    SLOWER (8.25 bpw → 154 s warm vs this path's wire-bound floor): on
+    this runtime the only thing worth caching is compiled programs
+    (utils/xla_cache). Reference analogue: one mmap + per-tensor upload
+    with repack-at-load (src/gguf.cpp:319, src/ggml-cpu/repack.cpp)."""
     r = GGUFReader(path)
     arch = r.kv.get("general.architecture")
     if arch != ARCH:
@@ -122,19 +128,16 @@ def load(path, layout: str | None = None) -> tuple[LlamaConfig, dict]:
 
         eff = autotune.choose()
     if eff == "int8":
-        from ..ops.quantized import to_int8_layout
-        from ..runtime import weight_cache
-
-        cached = weight_cache.lookup(path)
+        done = _load_int8_wire(r, work)
 
         def mk(nm):
-            if cached is not None and nm in cached:
-                return cached[nm]()          # mmap → upload, no transform
+            if nm in done:
+                return done[nm]
+            from ..ops.quantized import to_int8_layout
+
             v = _to_param(r, nm)
             return to_int8_layout(v) if isinstance(v, QuantTensor) else v
     else:
-        cached = "n/a"
-
         def mk(nm):
             return _to_param(r, nm)
 
@@ -147,13 +150,57 @@ def load(path, layout: str | None = None) -> tuple[LlamaConfig, dict]:
         else:
             p[dest] = v
     if eff == "int8":
-        if cached is None:   # first int8 load: persist for the next one
-            weight_cache.store(path, {nm: v for (_, nm), v in zip(work, vals)
-                                      if isinstance(v, QuantTensor)})
         return cfg, p
     from ..ops.quantized import apply_weights_layout
 
     return cfg, apply_weights_layout(p, layout=eff)
+
+
+def _load_int8_wire(r: GGUFReader, work) -> dict:
+    """Chunked minimum-transfer loader (see load() docstring): returns
+    {gguf name → int8-layout QuantTensor} for every 2-D quantized tensor
+    whose wire format has an on-device conversion program; the caller
+    falls back per-tensor for the rest (norms, exotic formats)."""
+    from ..ops.quantized import wire_bytes_supported, wire_bytes_to_int8
+    from ..utils import config as _config
+
+    plan = []                                  # (name, qtype, n, k, raw)
+    for _, nm in work:
+        ti = r.tensors.get(nm)
+        if (ti is None or not TYPE_TRAITS[ti.type].is_quantized
+                or not wire_bytes_supported(ti.type)
+                or len(ti.shape) != 2):
+            continue
+        n, k = int(ti.shape[0]), int(ti.shape[1])
+        if k % TYPE_TRAITS[ti.type].blck_size:
+            continue
+        plan.append((nm, ti.type, n, k, r.tensor_bytes(nm)))
+    if not plan:
+        return {}
+    chunk_sz = int(_config.get("load_chunk_mb")) << 20
+    chunk_sz = max(chunk_sz, max(raw.nbytes for *_, raw in plan))
+    groups, cur = [[]], 0
+    for item in plan:
+        nb = item[4].nbytes
+        if cur + nb > chunk_sz and groups[-1]:
+            groups.append([])
+            cur = 0
+        groups[-1].append(item)
+        cur += nb
+    out = {}
+    buf = np.empty(chunk_sz, np.uint8)   # reused; every upload same shape
+    for group in groups:
+        off = 0
+        metas = []
+        for nm, qtype, n, k, raw in group:
+            buf[off:off + raw.nbytes] = raw.reshape(-1)
+            metas.append((nm, qtype, n, k, off))
+            off += raw.nbytes
+        dev = jnp.asarray(buf)           # ONE flat transfer per chunk
+        for nm, qtype, n, k, o in metas:
+            out[nm] = wire_bytes_to_int8(qtype, dev, o, n, k)
+        del dev   # conversions hold their outputs; the chunk can free
+    return out
 
 
 def _rms(x, g, eps):

@@ -423,13 +423,20 @@ def to_int8_layout(qt: QuantTensor, tile: int | None = None) -> QuantTensor:
     class as the integer-MXU prefill kernels (bounded by tile max / 254;
     wider tiles stream marginally fewer scale bytes at slightly higher
     requant error)."""
+    w = dequant(qt)                                    # (N, K) f32
+    n, k = w.shape
+    tile = _choose_tile(k, tile)
+    w8t, dwt = _requant_tiles(w, tile)
+    return QuantTensor(qt.qtype, qt.shape,
+                       {"w8t": w8t, "dwt": dwt}, "int8")
+
+
+def _choose_tile(k: int, tile: int | None) -> int:
     from_config = tile is None
     if from_config:
         from ..utils import config
 
         tile = int(config.get("int8_tile"))
-    w = dequant(qt)                                    # (N, K) f32
-    n, k = w.shape
     while k % tile and tile > 32:      # e.g. llama's n_ff=11008 % 512 != 0
         tile //= 2
     if from_config:
@@ -440,19 +447,88 @@ def to_int8_layout(qt: QuantTensor, tile: int | None = None) -> QuantTensor:
         # scale that disappears when the fusion is broken by a tap)
         while k // tile < 8 and tile > 128:
             tile //= 2
-    assert k % tile == 0, (n, k, tile)
+    assert k % tile == 0, (k, tile)
+    return tile
+
+
+def _requant_tiles(w, tile: int):
+    """(N, K) f32 → tile-major int8 fields (w8t (Kt, N, tile), dwt (Kt, N)).
+    Stored tile-major: the segmented contraction batches over tiles, and a
+    row-major (N, K) layout would make XLA materialize a full transposed
+    copy of the weights EVERY matmul (measured: caps decode at ~50 GB/s;
+    tile-major streams at fusion speed)."""
+    n, k = w.shape
     wt = w.reshape(n, k // tile, tile)
     amax = jnp.max(jnp.abs(wt), axis=-1)
     dw = amax / 127.0
     inv = jnp.where(amax > 0, 127.0 / jnp.where(amax > 0, amax, 1.0), 0.0)
     w8 = jnp.clip(jnp.round(wt * inv[..., None]), -127.0, 127.0)
-    # stored tile-major (Kt, N, tile): the segmented contraction batches
-    # over tiles, and a row-major (N, K) layout would make XLA materialize
-    # a full transposed copy of the weights EVERY matmul (measured: caps
-    # decode at ~50 GB/s; tile-major streams at fusion speed)
-    w8t = jnp.swapaxes(w8.astype(jnp.int8), 0, 1)      # (Kt, N, tile)
-    return QuantTensor(qt.qtype, qt.shape,
-                       {"w8t": w8t, "dwt": dw.T}, "int8")
+    return jnp.swapaxes(w8.astype(jnp.int8), 0, 1), dw.T
+
+
+# -- minimum-transfer load path (wire bytes → int8 layout ON DEVICE) --------
+# Measured on the tunnel runtime (docs/PERFORMANCE.md): host→device
+# transfers cap at ~45-50 MB/s with ~0.4 s fixed cost per transfer, and
+# strided/small-inner-dim field uploads degrade to ~0.1 MB/s — so
+# time-to-first-token is floored by UPLOADED BYTES, not host or device
+# work. Raw GGUF wire (4.5 bpw for Q4_K) is the minimum possible payload;
+# field splitting (bitcast for packed f16 scales), dequantization
+# (quant/dequant_math with xp=jnp) and int8 requantization all run
+# device-side in one jitted program per (qtype, n, k, tile) — bit-identical
+# to to_int8_layout(QuantTensor.from_blocks(...)), verified in
+# tests/test_int8_load.py. The reference analogue is mmap + repack-at-load
+# (src/gguf.cpp:319, src/ggml-cpu/repack.cpp).
+
+_WIRE_CONV_JITS: dict = {}
+
+
+def wire_bytes_supported(qtype: GGMLType) -> bool:
+    """True when the on-device wire→int8 program exists for this type."""
+    return qtype in _FIELDS and qtype in _DEQUANT_WIRE
+
+
+def wire_bytes_to_int8(qtype: GGMLType, chunk: jax.Array, offset, n: int,
+                       k: int, tile: int | None = None) -> QuantTensor:
+    """Slice one tensor's raw wire bytes out of a flat device uint8 chunk
+    (traced byte `offset` — one compile covers every tensor of a given
+    (qtype, n, k) regardless of position) and convert to the tile-major
+    int8 execution layout entirely on device."""
+    tt = TYPE_TRAITS[qtype]
+    tile = _choose_tile(k, tile)
+    key = (qtype, n, k, tile, chunk.shape[0])
+    fn = _WIRE_CONV_JITS.get(key)
+    if fn is None:
+        nb = k // tt.blck_size
+        bs = tt.type_size
+        metas = []          # (lo, hi, base numpy dtype, element count)
+        for nm in _FIELDS[qtype]:
+            fdt, off = tt.block_dtype.fields[nm][:2]
+            base = fdt.base if fdt.subdtype else fdt
+            metas.append((off, off + fdt.itemsize, base,
+                          fdt.itemsize // base.itemsize))
+
+        @jax.jit
+        def fn(chunk, offset):
+            w = jax.lax.dynamic_slice(chunk, (offset,), (n * nb * bs,))
+            w = w.reshape(n, nb, bs)
+            args = []
+            for lo, hi, base, count in metas:
+                piece = w[..., lo:hi]
+                if base.itemsize > 1:    # f16/f32/i16 scale fields
+                    piece = jax.lax.bitcast_convert_type(
+                        piece.reshape(n, nb, count, base.itemsize),
+                        jnp.dtype(base))
+                elif base != np.uint8:   # signed q8 wire values
+                    piece = jax.lax.bitcast_convert_type(piece,
+                                                         jnp.dtype(base))
+                args.append(piece.reshape(n, nb) if count == 1
+                            else piece.reshape(n, nb, count))
+            wf = _DEQUANT_WIRE[qtype](jnp, *args).reshape(n, k)
+            return _requant_tiles(wf, tile)
+
+        _WIRE_CONV_JITS[key] = fn
+    w8t, dwt = fn(chunk, jnp.int32(offset))
+    return QuantTensor(qtype, (n, k), {"w8t": w8t, "dwt": dwt}, "int8")
 
 
 def _int8_layout_matmul(x: jax.Array, qt: QuantTensor) -> jax.Array:

@@ -142,3 +142,16 @@ register("kv_page_size", 64,
          "positions per page of the paged serving KV pool "
          "(Engine(paged_pages=N); runtime/paged_kv.py)")
 register("log_level", "info", "log threshold: debug/info/warn/error")
+register("xla_cache_dir", "~/.cache/ggml_gfx906_tpu/xla",
+         "persistent XLA compilation cache directory ('' disables). "
+         "Measured on the axon runtime: a 23 s first compile replays in "
+         "2 s from a second process — this removes the per-process compile "
+         "tax from serving startup, the bench sweep, and the load path's "
+         "on-device conversion programs")
+register("load_chunk_mb", 256,
+         "flat host→device upload granularity of the int8 load path "
+         "(models/llama.load layout='int8'): raw wire bytes of consecutive "
+         "tensors are concatenated into chunks of this size and uploaded "
+         "as single 1-D transfers — per-transfer fixed cost (~0.4 s on "
+         "the tunnel) amortizes, and small/strided field uploads (measured "
+         "0.1 MB/s pathological) are avoided entirely")
