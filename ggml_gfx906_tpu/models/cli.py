@@ -69,6 +69,12 @@ def serve_main(argv):
                     help="use a paged KV pool of this many pages")
     ap.add_argument("--kv-quant", action="store_true",
                     help="int8 KV cache (capacity feature)")
+    ap.add_argument("--weights-layout", default=None,
+                    choices=["kernel", "int8", "auto"],
+                    help="execution layout (default: config "
+                         "weights_layout; 'int8' is the production "
+                         "serving layout on tunnel runtimes — loads via "
+                         "the chunked minimum-transfer path)")
     ap.add_argument("--top-k", type=int, default=40)
     ap.add_argument("--top-p", type=float, default=0.9)
     ap.add_argument("--temp", type=float, default=0.0,
@@ -85,7 +91,14 @@ def serve_main(argv):
     from . import tokenizer
 
     reader = GGUFReader(args.model)
-    arch, mod, cfg, params = _load_model(reader, args.model)
+    if args.weights_layout:   # scoped to the load (in-process callers)
+        prev = config.get("weights_layout")
+        config.set("weights_layout", args.weights_layout)
+    try:
+        arch, mod, cfg, params = _load_model(reader, args.model)
+    finally:
+        if args.weights_layout:
+            config.set("weights_layout", prev)
     if mod is None:
         print(f"error: unsupported architecture {arch!r}", file=sys.stderr)
         return 1

@@ -106,9 +106,33 @@ def _causal_postscale(q, k8, v8, kd, vd, pos, scale, softcap):
     # q head h uses kv head h // rep, so the (H, N) axes flatten to
     # (KVH, rep*N) rows with row j of group kvh at query offset j % N
     qg = q.reshape(B, KVH, rep * N, D)
-    s = jnp.einsum("bhnd,bhmd->bhnm", qg.astype(dot_t), k8.astype(dot_t),
-                   preferred_element_type=jnp.float32, precision=prec)
-    s = s * (kd[:, :, None, :] * jnp.float32(scale))
+    from ..utils import config
+
+    if (N == 1 and q.dtype != jnp.float32
+            and bool(config.get("kv_attn_int8_dot"))):
+        # ggml's Q8_1-activation-quant analogue (ref vecdotq.cuh): q rows
+        # quantize to int8 per (b, h, n) and the score dot runs
+        # int8×int8→int32 on the MXU — no int8→bf16 convert in the K
+        # stream. Measured (scripts/exp_kv_long.py, B=32 H=32 D=128
+        # M=1024): 0.252 ms/step vs postscale 0.361 vs dense bf16 0.607.
+        # DECODE ONLY (N == 1): the chunked-prefill shape measured a
+        # regression with quantized q rows (scripts/exp_engine_w512.py),
+        # and prefill is MXU-bound, not KV-read-bound. Adds a bounded
+        # |q|/127-per-row rounding to the scores; f32 compute paths keep
+        # the exact dots.
+        qa = jnp.max(jnp.abs(qg.astype(jnp.float32)), axis=-1,
+                     keepdims=True)
+        qd = qa / 127.0
+        q8 = jnp.round(qg.astype(jnp.float32)
+                       / jnp.maximum(qd, 1e-30)).astype(jnp.int8)
+        s = jnp.einsum("bhnd,bhmd->bhnm", q8, k8,
+                       preferred_element_type=jnp.int32).astype(jnp.float32)
+        s = s * (qd * kd[:, :, None, :] * jnp.float32(scale))
+    else:
+        s = jnp.einsum("bhnd,bhmd->bhnm", qg.astype(dot_t),
+                       k8.astype(dot_t),
+                       preferred_element_type=jnp.float32, precision=prec)
+        s = s * (kd[:, :, None, :] * jnp.float32(scale))
     if softcap != 0.0:
         s = jnp.tanh(s * (1.0 / softcap)) * softcap
     pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))

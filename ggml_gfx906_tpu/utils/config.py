@@ -138,6 +138,13 @@ register("attn_impl", "pallas",
          "underperforms XLA fusions; utils/autotune.choose_attn measures)")
 register("kv_quant", False,
          "store serving KV caches as int8 with per-(head,pos) scales")
+register("kv_attn_int8_dot", True,
+         "quantized-KV attention computes the score dot int8xint8 on the "
+         "MXU (q rows activation-quantized per (slot, head); ggml's Q8_1 "
+         "analogue, ref vecdotq.cuh) instead of converting the int8 cache "
+         "to bf16 inside the dot. Measured 1.4x the postscale score dot "
+         "at window 1024 (scripts/exp_kv_long.py); bf16-compute paths "
+         "only (f32 keeps exact dots)")
 register("kv_page_size", 64,
          "positions per page of the paged serving KV pool "
          "(Engine(paged_pages=N); runtime/paged_kv.py)")

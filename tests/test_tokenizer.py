@@ -204,3 +204,9 @@ def test_cli_serve_batched_from_file(tmp_path, capsys):
     single = capsys.readouterr().out.strip()
     served = next(ln for ln in lines if ln.startswith("[0] "))[4:]
     assert single.endswith(served) or served in single
+    # and the production execution-layout flag plumbs through the load
+    rc = cli.main(["serve", "-m", str(path), "--prompts", str(pfile),
+                   "-n", "2", "--max-batch", "2", "--max-seq", "32",
+                   "--no-eos", "--weights-layout", "int8"])
+    assert rc == 0
+    assert "tok/s aggregate" in capsys.readouterr().err
