@@ -168,6 +168,10 @@ def generate_main(argv):
     ap.add_argument("--temp", type=float, default=0.9)
     ap.add_argument("-s", "--seed", type=int, default=-1)
     ap.add_argument("--greedy", action="store_true", help="argmax decoding")
+    ap.add_argument("--spec", type=int, default=0, metavar="K",
+                    help="speculative greedy decoding: verify K "
+                         "prompt-lookup-drafted tokens per forward "
+                         "(stream identical to --greedy; llama-arch only)")
     args = ap.parse_args(argv)
 
     from ..gguf import GGUFReader
@@ -199,6 +203,28 @@ def generate_main(argv):
     print(f"model: {arch}, {cfg.n_layer} layers, n_embd={cfg.n_embd}, "
           f"device: {jax.devices()[0]}", file=sys.stderr)
     print(f"prompt tokens: {prompt_ids}", file=sys.stderr)
+
+    if args.spec:
+        if arch != "llama" or mod.__name__.endswith(".moe"):
+            print("error: --spec supports the llama architecture",
+                  file=sys.stderr)
+            return 1
+        from . import speculative
+
+        t0 = time.time()
+        out, stats = speculative.spec_generate(
+            cfg, params, prompt_ids, args.n_predict, k=args.spec,
+            return_stats=True)
+        dt = time.time() - t0
+        n_new = len(out) - len(prompt_ids)
+        print(f"generated {n_new} tokens in {dt:.2f}s "
+              f"({n_new / dt:.1f} tok/s incl. compile; "
+              f"accept {stats['accept_rate']:.2f}, "
+              f"{stats['tokens_per_step']:.1f} tok/verify)",
+              file=sys.stderr)
+        print(tok.decode(out) if tok is not None
+              else ",".join(map(str, out)))
+        return 0
 
     if args.greedy:
         sampler = greedy

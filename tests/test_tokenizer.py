@@ -163,6 +163,15 @@ def test_llama_gguf_serves_from_file_alone(tmp_path, capsys):
     outerr = capsys.readouterr()
     assert "prompt tokens:" in outerr.err
     assert outerr.out.strip() != ""
+    greedy_text = outerr.out.strip()
+
+    # --spec K must produce the IDENTICAL stream (speculative decoding's
+    # exactness contract) and report its acceptance stats
+    rc = cli.main(["-m", str(path), "-p", "the ab", "-n", "4", "--spec", "4"])
+    assert rc == 0
+    outerr = capsys.readouterr()
+    assert outerr.out.strip() == greedy_text
+    assert "accept" in outerr.err
 
 
 def test_cli_serve_batched_from_file(tmp_path, capsys):
