@@ -322,7 +322,8 @@ def generate(cfg: LlamaConfig, params: dict, prompt_tokens, n_predict: int,
 
 def forward_batch(cfg: LlamaConfig, params: dict, tokens: jax.Array,
                   kv, start: jax.Array, tp_axis: str | None = None,
-                  attn_window: int | None = None):
+                  attn_window: int | None = None,
+                  window_delta=None):
     """Batched serving forward: tokens (B, S) at per-slot positions
     start (B,) against a BatchedKVCache → (logits (B, S, V), kv).
 
@@ -335,12 +336,23 @@ def forward_batch(cfg: LlamaConfig, params: dict, tokens: jax.Array,
     so a short serving batch does not pay HBM reads for the full padded
     max_seq cache (at B=8/max_seq=1024 the padded K/V read rivals the
     weight stream itself). Callers must guarantee every valid position is
-    < attn_window; K/V writes still go to the full cache."""
+    < attn_window; K/V writes still go to the full cache.
+
+    window_delta (decode-only, S == 1): a (delta: WindowDelta, step, len0)
+    triple — fresh K/V rows write into the delta at uniform column `step`
+    (no per-slot scatter; the engine absorbs the window once at its end,
+    BatchedKVCache.absorb_delta) and attention merges the big cache
+    (rows [0, len0)) with the delta rows [0, step] at score level
+    (ops.causal_attn_delta). Returns (logits, delta) instead of
+    (logits, kv)."""
     B, S = tokens.shape
     HD = cfg.head_dim
     dt = cfg.compute_dtype
     pos = start[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]  # (B, S)
     x = _embed(params["wte"], tokens).astype(dt)
+    delta = step = len0 = None
+    if window_delta is not None:
+        delta, step, len0 = window_delta
 
     for li, blk in enumerate(params["blocks"]):
         H = blk["wq"].shape[0] // HD     # local when row-sharded
@@ -351,11 +363,18 @@ def forward_batch(cfg: LlamaConfig, params: dict, tokens: jax.Array,
         v = qmatmul(h, blk["wv"]).reshape(B, S, KVH, HD)
         q = _rope(cfg, q, pos)
         k = _rope(cfg, k, pos)
-        kv = kv.update_layer(li, k, v, start)
-        kc, vc, kd, vd = kv.layer_kv(li, attn_window)
-        att = ops.causal_flash_attn(
-            jnp.transpose(q, (0, 2, 1, 3)), kc, vc,
-            start, scale=1.0 / (HD ** 0.5), k_scale=kd, v_scale=vd)
+        if window_delta is not None:
+            delta = delta.write(li, k, v, step)
+            kc, vc, kd, vd = kv.layer_kv(li, attn_window)
+            att = ops.causal_attn_delta(
+                jnp.transpose(q, (0, 2, 1, 3)), kc, vc, kd, vd, len0,
+                delta.k[li], delta.v[li], step, scale=1.0 / (HD ** 0.5))
+        else:
+            kv = kv.update_layer(li, k, v, start)
+            kc, vc, kd, vd = kv.layer_kv(li, attn_window)
+            att = ops.causal_flash_attn(
+                jnp.transpose(q, (0, 2, 1, 3)), kc, vc,
+                start, scale=1.0 / (HD ** 0.5), k_scale=kd, v_scale=vd)
         att = jnp.transpose(att, (0, 2, 1, 3)).reshape(B, S, H * HD)
         a = qmatmul(att, blk["wo"])
         if tp_axis:
@@ -371,7 +390,8 @@ def forward_batch(cfg: LlamaConfig, params: dict, tokens: jax.Array,
 
     x = _rms(x, params["out_norm"], cfg.rms_eps)
     head = params.get("lm_head", params["wte"])
-    return qmatmul(x, head).astype(jnp.float32), kv
+    logits = qmatmul(x, head).astype(jnp.float32)
+    return logits, (delta if window_delta is not None else kv)
 
 
 def prefill_kv(cfg: LlamaConfig, params: dict, tokens: jax.Array,

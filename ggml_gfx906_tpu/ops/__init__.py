@@ -12,7 +12,8 @@ from .rope import (  # noqa: F401
     rope_ext, rope_multi, yarn_corr_dims, ROPE_TYPE_MROPE, ROPE_TYPE_NEOX,
     ROPE_TYPE_NORMAL, ROPE_TYPE_VISION,
 )
-from .attention import attention_ref, causal_flash_attn, flash_attn_ext  # noqa: F401
+from .attention import (attention_ref, causal_attn_delta,  # noqa: F401
+                        causal_flash_attn, flash_attn_ext)
 from .quantized import QuantTensor, dequant, qmatmul, to_int8_layout  # noqa: F401
 from .conv import (  # noqa: F401
     add_rel_pos, conv_1d, conv_1d_dw, conv_2d, conv_2d_dw, conv_3d,

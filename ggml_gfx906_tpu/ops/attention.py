@@ -148,6 +148,84 @@ def _causal_postscale(q, k8, v8, kd, vd, pos, scale, softcap):
     return out.reshape(B, H, N, D).astype(q.dtype)
 
 
+def causal_attn_delta(q, kc, vc, kd, vd, len0, dk, dv, step,
+                      scale: float | None = None):
+    """Decode attention over a BIG cache segment plus a small per-window
+    DELTA segment, merged at score level (runtime/engine.py window-delta
+    flow; see config `engine_window_delta`).
+
+    q (B, H, 1, D) at per-slot positions len0(B,)+step; big cache kc/vc
+    (B, KVH, W, D) bf16 — or int8 with kd/vd (B, KVH, W) postscale
+    scales — holds rows [0, len0); delta dk/dv (B, KVH, DEPTH, D) bf16
+    holds the window's fresh rows at positions len0+j, valid for j <=
+    step. Scores for both segments concatenate (tiny at decode: (B, H,
+    W+DEPTH) f32) into ONE softmax, then out = P_big.V_big +
+    P_delta.V_delta — the big cache is never copied or concatenated.
+    Equivalent to writing the rows into the big cache and attending
+    [0, len0+step] (ulp-level: reduction order differs)."""
+    B, H, N, D = q.shape
+    assert N == 1, "delta attention is decode-only"
+    KVH, W = kc.shape[1], kc.shape[2]
+    DEPTH = dk.shape[2]
+    rep = H // KVH
+    dot_t = jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
+    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    if scale is None:
+        scale = 1.0 / (D ** 0.5)
+    qg = q.reshape(B, KVH, rep, D)
+    from ..utils import config
+
+    quant = kd is not None
+    if (quant and N == 1 and q.dtype != jnp.float32
+            and bool(config.get("kv_attn_int8_dot"))):
+        qa = jnp.max(jnp.abs(qg.astype(jnp.float32)), axis=-1,
+                     keepdims=True)
+        qd = qa / 127.0
+        q8 = jnp.round(qg.astype(jnp.float32)
+                       / jnp.maximum(qd, 1e-30)).astype(jnp.int8)
+        s_big = jnp.einsum("bhnd,bhmd->bhnm", q8, kc,
+                           preferred_element_type=jnp.int32
+                           ).astype(jnp.float32)
+        s_big = s_big * (qd * kd[:, :, None, :] * jnp.float32(scale))
+    elif quant:
+        s_big = jnp.einsum("bhnd,bhmd->bhnm", qg.astype(dot_t),
+                           kc.astype(dot_t),
+                           preferred_element_type=jnp.float32,
+                           precision=prec)
+        s_big = s_big * (kd[:, :, None, :] * jnp.float32(scale))
+    else:
+        s_big = jnp.einsum("bhnd,bhmd->bhnm", qg.astype(dot_t),
+                           kc.astype(dot_t),
+                           preferred_element_type=jnp.float32,
+                           precision=prec) * jnp.float32(scale)
+    s_dlt = jnp.einsum("bhnd,bhmd->bhnm", qg.astype(dot_t),
+                       dk.astype(dot_t),
+                       preferred_element_type=jnp.float32,
+                       precision=prec) * jnp.float32(scale)
+    len0 = jnp.asarray(len0, jnp.int32).reshape(-1)
+    mask_big = jnp.where(
+        jnp.arange(W, dtype=jnp.int32)[None, :] < len0[:, None],
+        0.0, -jnp.inf).astype(jnp.float32)[:, None, None]    # (B,1,1,W)
+    mask_dlt = jnp.where(
+        jnp.arange(DEPTH, dtype=jnp.int32) <= jnp.int32(step),
+        0.0, -jnp.inf).astype(jnp.float32)[None, None, None]
+    p = jax.nn.softmax(
+        jnp.concatenate([s_big + mask_big, s_dlt + mask_dlt], axis=-1),
+        axis=-1)
+    p_big, p_dlt = p[..., :W], p[..., W:]
+    if quant:
+        p_big = p_big * vd[:, :, None, :]
+    out = jnp.einsum("bhnm,bhmd->bhnd", p_big.astype(dot_t),
+                     vc.astype(dot_t),
+                     preferred_element_type=jnp.float32, precision=prec)
+    out = out + jnp.einsum("bhnm,bhmd->bhnd", p_dlt.astype(dot_t),
+                           dv.astype(dot_t),
+                           preferred_element_type=jnp.float32,
+                           precision=prec)
+    return out.reshape(B, H, N, D).astype(q.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _causal_kernel(q, k, v, pos, scale, logit_softcap):
     from .pallas import flash_attn as _fa

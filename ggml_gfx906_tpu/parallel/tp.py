@@ -244,13 +244,16 @@ def _restore_dp(kv, dp: int):
 
 @functools.lru_cache(maxsize=16)
 def _tp_decode_window_fn(mesh, cfg, kv_treedef, pspec_treedef, window: int,
-                         depth: int, paged_dp: int | None):
+                         depth: int, paged_dp: int | None,
+                         use_delta: bool = False):
     """One harvest window as ONE shard_map program: lax.scan over the
     batched decode step with in-program sampling (the mesh analogue of the
     single-chip _decode_window; engine.py:_model_programs). paged_dp: the
     pool's dp when kv is a PagedKVCache (the window-gather flow — pool →
     local dense view → scan → absorb — runs entirely per-shard, so no page
-    traffic ever crosses ICI), None for the dense cache."""
+    traffic ever crosses ICI), None for the dense cache. use_delta: the
+    window-delta flow (uniform-column writes + one wide absorb scatter per
+    window — see the single-chip _decode_window), entirely shard-local."""
     from ..models import llama
     from ..runtime.sampling import sample_batch
 
@@ -266,20 +269,40 @@ def _tp_decode_window_fn(mesh, cfg, kv_treedef, pspec_treedef, window: int,
         else:
             dense = kv
 
-        def body(carry, _):
-            toks, counters, dense = carry
-            logits, dense = llama.forward_batch(
-                cfg, lp, toks[:, None], dense, dense.lengths,
-                tp_axis="tp", attn_window=window)
+        def sample(logits, counters):
             keys = jax.vmap(lambda s, ct: jax.random.fold_in(
                 jax.random.PRNGKey(s), ct))(seeds, counters)
-            nxt = sample_batch(logits[:, 0, :], keys, temps, top_ks,
-                               top_ps)
-            new_len = dense.lengths + active.astype(jnp.int32)
-            return (nxt, counters + 1, dense.with_lengths(new_len)), nxt
+            return sample_batch(logits[:, 0, :], keys, temps, top_ks,
+                                top_ps)
 
-        (toks, counters, dense), out = jax.lax.scan(
-            body, (toks, counters, dense), None, length=depth)
+        if use_delta:
+            len0 = dense.lengths
+
+            def body(carry, i):
+                toks, counters, delta = carry
+                logits, delta = llama.forward_batch(
+                    cfg, lp, toks[:, None], dense, len0 + i,
+                    tp_axis="tp", attn_window=window,
+                    window_delta=(delta, i, len0))
+                nxt = sample(logits, counters)
+                return (nxt, counters + 1, delta), nxt
+
+            (toks, counters, delta), out = jax.lax.scan(
+                body, (toks, counters, dense.make_delta(depth)),
+                jnp.arange(depth, dtype=jnp.int32))
+            dense = dense.absorb_delta(delta, len0, active, depth)
+        else:
+            def body(carry, _):
+                toks, counters, dense = carry
+                logits, dense = llama.forward_batch(
+                    cfg, lp, toks[:, None], dense, dense.lengths,
+                    tp_axis="tp", attn_window=window)
+                nxt = sample(logits, counters)
+                new_len = dense.lengths + active.astype(jnp.int32)
+                return (nxt, counters + 1, dense.with_lengths(new_len)), nxt
+
+            (toks, counters, dense), out = jax.lax.scan(
+                body, (toks, counters, dense), None, length=depth)
         if paged_dp is not None:
             kv = _restore_dp(kv.absorb(dense, starts, depth), paged_dp)
             return out, toks, counters, kv
@@ -295,11 +318,12 @@ def _tp_decode_window_fn(mesh, cfg, kv_treedef, pspec_treedef, window: int,
 
 def tp_decode_window(mesh: Mesh, cfg, params: dict, kv, toks, active, seeds,
                      counters, temps, top_ks, top_ps, window: int,
-                     depth: int, starts=None):
+                     depth: int, starts=None, use_delta: bool = False):
     """Run one depth-step decode window on the mesh; returns
     (token stack (depth, B), next_toks, counters, kv). starts: per-slot
     write offsets for the paged absorb (the engine's host_len snapshot);
-    ignored for dense caches."""
+    ignored for dense caches. use_delta: window-delta flow (engine
+    config `engine_window_delta`)."""
     from ..runtime.paged_kv import PagedKVCache
 
     paged_dp = kv.dp if isinstance(kv, PagedKVCache) else None
@@ -307,7 +331,8 @@ def tp_decode_window(mesh: Mesh, cfg, params: dict, kv, toks, active, seeds,
         starts = jnp.zeros(toks.shape[0], jnp.int32)
     fn = _tp_decode_window_fn(mesh, cfg, _freeze(_kv_specs(kv, True)),
                               _freeze(llama_param_specs(params)),
-                              int(window), int(depth), paged_dp)
+                              int(window), int(depth), paged_dp,
+                              bool(use_delta))
     return fn(params, kv, toks, active, seeds, counters, temps, top_ks,
               top_ps, starts)
 

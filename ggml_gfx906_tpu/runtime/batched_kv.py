@@ -26,6 +26,37 @@ from .kv_cache import quantize_rows
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
+class WindowDelta:
+    """Per-window fresh K/V rows: per-layer (B, n_kv_head, depth, head_dim)
+    bf16, written at a UNIFORM column per step (1.1 us vs the 42 us
+    per-slot scatter — measured; see BatchedKVCache.absorb_delta)."""
+    k: tuple
+    v: tuple
+
+    def tree_flatten(self):
+        return (self.k, self.v), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    def write(self, layer: int, k_new: jax.Array, v_new: jax.Array, step):
+        """Write (B, S=1, H, D) rows at delta column `step` (scalar)."""
+        k_t = jnp.transpose(k_new, (0, 2, 1, 3))        # (B, H, 1, D)
+        v_t = jnp.transpose(v_new, (0, 2, 1, 3))
+        zero = jnp.int32(0)
+        k_l = jax.lax.dynamic_update_slice(
+            self.k[layer], k_t.astype(self.k[layer].dtype),
+            (zero, zero, jnp.asarray(step, jnp.int32), zero))
+        v_l = jax.lax.dynamic_update_slice(
+            self.v[layer], v_t.astype(self.v[layer].dtype),
+            (zero, zero, jnp.asarray(step, jnp.int32), zero))
+        return WindowDelta(self.k[:layer] + (k_l,) + self.k[layer + 1:],
+                           self.v[:layer] + (v_l,) + self.v[layer + 1:])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
 class BatchedKVCache:
     k: tuple  # per layer: (B, n_kv_head, max_seq, head_dim)
     v: tuple
@@ -82,6 +113,55 @@ class BatchedKVCache:
             if kd is not None:
                 kd, vd = kd[:, :, :window], vd[:, :, :window]
         return kc, vc, kd, vd
+
+    def make_delta(self, depth: int, dtype=jnp.bfloat16) -> "WindowDelta":
+        """Fresh per-window delta buffers: (B, H, depth, D) bf16 per layer
+        (always dense — the window's rows quantize once at absorb)."""
+        L = len(self.k)
+        B, H, _, D = self.k[0].shape
+        buf = jnp.zeros((2 * L, B, H, depth, D), dtype)
+        return WindowDelta(tuple(buf[i] for i in range(L)),
+                           tuple(buf[L + i] for i in range(L)))
+
+    def absorb_delta(self, delta: "WindowDelta", len0: jax.Array,
+                     active: jax.Array, depth: int) -> "BatchedKVCache":
+        """Install a window's delta rows with ONE wide scatter per array
+        (a per-slot scatter costs ~42 us regardless of width — measured,
+        docs/PERFORMANCE.md — so writing depth columns at once amortizes
+        the per-step write tax by depth x). Rows land at positions
+        len0[b]..len0[b]+depth-1; lengths advance by depth for active
+        slots only (inactive slots' rows sit beyond their length: masked,
+        and overwritten by admission's set_slot — the engine's standing
+        stale-tail invariant)."""
+        start = jnp.minimum(len0, self.max_seq - depth)
+
+        def wide(buf, dbuf):
+            def one(sb, d, s0):
+                return jax.lax.dynamic_update_slice(
+                    sb, d.astype(sb.dtype), (0, s0, 0))
+            return jax.vmap(one)(buf, dbuf, start)
+
+        def wide_d(buf, dnew):
+            def one(sb, d, s0):
+                return jax.lax.dynamic_update_slice(sb, d, (0, s0))
+            return jax.vmap(one)(buf, dnew, start)
+
+        ks, vs, kds, vds = [], [], [], []
+        for li in range(len(self.k)):
+            dk, dv = delta.k[li], delta.v[li]
+            if self.quantized:
+                kq, kd = quantize_rows(dk)
+                vq, vd = quantize_rows(dv)
+                ks.append(wide(self.k[li], kq))
+                vs.append(wide(self.v[li], vq))
+                kds.append(wide_d(self.k_d[li], kd))
+                vds.append(wide_d(self.v_d[li], vd))
+            else:
+                ks.append(wide(self.k[li], dk))
+                vs.append(wide(self.v[li], dv))
+        new_len = len0 + jnp.int32(depth) * active.astype(jnp.int32)
+        return BatchedKVCache(tuple(ks), tuple(vs), tuple(kds), tuple(vds),
+                              new_len)
 
     def update_layer(self, layer: int, k_new: jax.Array, v_new: jax.Array,
                      start: jax.Array) -> "BatchedKVCache":

@@ -226,9 +226,41 @@ def _model_programs(mm, c, mesh):
         # is paid once per window instead of once per token, and the
         # window's token stack is produced in-program
         @functools.partial(jax.jit, donate_argnums=(1, 5),
-                           static_argnums=(9, 10))
+                           static_argnums=(9, 10, 11))
         def _decode_window(params, kv, toks, active, seeds, counters,
-                           temps, top_ks, top_ps, window, depth):
+                           temps, top_ks, top_ps, window, depth,
+                           use_delta=False):
+            if use_delta:
+                # WINDOW-DELTA flow (config engine_window_delta): fresh
+                # K/V rows accumulate in a small per-window buffer at
+                # uniform columns (1.1 us/write) instead of per-slot
+                # scatters into the big cache (42 us x 2 x n_layer per
+                # step — measured, docs/PERFORMANCE.md), and the window
+                # absorbs with ONE wide scatter per array; attention
+                # merges the segments at score level
+                # (ops.causal_attn_delta). For int8 KV the window's rows
+                # additionally quantize once per window, not per step.
+                len0 = kv.lengths
+
+                def body(carry, i):
+                    toks, counters, delta = carry
+                    logits, delta = mm.forward_batch(
+                        c, params, toks[:, None], kv, len0 + i,
+                        attn_window=window,
+                        window_delta=(delta, i, len0))
+                    keys = jax.vmap(
+                        lambda s, ct: jax.random.fold_in(
+                            jax.random.PRNGKey(s), ct))(seeds, counters)
+                    nxt = sample_batch(logits[:, 0, :], keys, temps,
+                                       top_ks, top_ps)
+                    return (nxt, counters + 1, delta), nxt
+
+                (toks, counters, delta), out = jax.lax.scan(
+                    body, (toks, counters, kv.make_delta(depth)),
+                    jnp.arange(depth, dtype=jnp.int32))
+                kv = kv.absorb_delta(delta, len0, active, depth)
+                return out, toks, counters, kv
+
             def body(carry, _):
                 toks, counters, kv = carry
                 nxt, counters, kv = _step_body(
@@ -307,10 +339,11 @@ def _model_programs(mm, c, mesh):
 
         def _decode_window(params, kv, toks, active, seeds, counters,
                            temps, top_ks, top_ps, window, depth,
-                           starts=None):
+                           starts=None, use_delta=False):
             return tp_decode_window(mesh, c, params, kv, toks, active,
                                     seeds, counters, temps, top_ks,
-                                    top_ps, int(window), int(depth), starts)
+                                    top_ps, int(window), int(depth), starts,
+                                    use_delta)
 
         def _prefill_batch(params, toks, kv, starts, admitted, plens,
                            seeds, samp, window):
@@ -350,6 +383,13 @@ class Engine:
         self.m = model_mod
         self.cfg = cfg
         self.params = params
+        # window-delta decode needs model support (forward_batch's
+        # window_delta param — models/llama.py; the tp path is
+        # llama-routed and delta-capable, parallel/tp.py)
+        import inspect
+
+        self._delta_capable = "window_delta" in inspect.signature(
+            model_mod.forward_batch).parameters
         self.max_batch = max_batch
         self.max_seq = max_seq
         self.chunk_size = chunk_size or config.get("engine_chunk_size")
@@ -884,6 +924,12 @@ class Engine:
         nxt, snap = d
         return self._harvest(np.asarray(nxt)[None], [snap])
 
+    def _use_delta(self) -> bool:
+        """Static per-dispatch flag: window-delta decode (read at dispatch
+        so config flips always reach a matching compiled program)."""
+        return bool(self._delta_capable
+                    and config.get("engine_window_delta"))
+
     def _dispatch_scan(self, depth: int):
         """Dispatch one `depth`-step scan-window program (see
         _decode_window in __init__): the whole window is ONE device
@@ -915,19 +961,24 @@ class Engine:
                     self.params, self.kv, self._tok_dev, self._active_dev,
                     self._seeds_dev, self._ctr_dev, self._temps_dev,
                     self._top_ks_dev, self._top_ps_dev, window, depth,
-                    starts)
+                    starts, self._use_delta())
             else:
                 dense = _gather_window(self.kv, window)
                 out, nxt, self._ctr_dev, dense = self._decode_window_jit(
                     self.params, dense, self._tok_dev, self._active_dev,
                     self._seeds_dev, self._ctr_dev, self._temps_dev,
-                    self._top_ks_dev, self._top_ps_dev, window, depth)
+                    self._top_ks_dev, self._top_ps_dev, window, depth,
+                    self._use_delta())
                 self.kv = _absorb_window(self.kv, dense, starts, depth)
         else:
+            # the mesh wrapper's trailing args are (starts, use_delta)
+            extra = ((None, self._use_delta()) if self.mesh is not None
+                     else (self._use_delta(),))
             out, nxt, self._ctr_dev, self.kv = self._decode_window_jit(
                 self.params, self.kv, self._tok_dev, self._active_dev,
                 self._seeds_dev, self._ctr_dev, self._temps_dev,
-                self._top_ks_dev, self._top_ps_dev, window, depth)
+                self._top_ks_dev, self._top_ps_dev, window, depth,
+                *extra)
         self._tok_dev = nxt
         self.counters += depth
         self.host_len += active.astype(np.int32) * depth

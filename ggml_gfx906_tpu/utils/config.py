@@ -145,6 +145,15 @@ register("kv_attn_int8_dot", True,
          "to bf16 inside the dot. Measured 1.4x the postscale score dot "
          "at window 1024 (scripts/exp_kv_long.py); bf16-compute paths "
          "only (f32 keeps exact dots)")
+register("engine_window_delta", True,
+         "scan-window decode writes each step's K/V rows into a small "
+         "per-window delta buffer at a uniform column (1.1 us) instead "
+         "of a per-slot scatter into the big cache (41.7 us x 2 x "
+         "n_layer per step, measured), and absorbs the whole window "
+         "with ONE wide scatter per array; attention merges the two "
+         "segments at score level. Numerically equivalent (not bitwise: "
+         "softmax/PV reduction order differs); disable for the strict "
+         "bit-parity per-step formulation")
 register("kv_page_size", 64,
          "positions per page of the paged serving KV pool "
          "(Engine(paged_pages=N); runtime/paged_kv.py)")

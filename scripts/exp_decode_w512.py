@@ -61,7 +61,7 @@ def main():
         return BatchedKVCache(k, v, kd, vd,
                               jnp.full((B,), FILL, jnp.int32))
 
-    def run(label, quant, i8dot):
+    def run(label, quant, i8dot, delta=False):
         config.set("kv_quant", quant)
         config.set("kv_attn_int8_dot", i8dot)
         try:
@@ -75,13 +75,14 @@ def main():
             tks = jnp.full((B,), 40, jnp.int32)
             tps = jnp.ones((B,), jnp.float32)
             out, toks, ctr, kv = win(params, kv, toks, active, seeds, ctr,
-                                     temps, tks, tps, W, DEPTH)
+                                     temps, tks, tps, W, DEPTH, delta)
             device_sync(out)
             best = float("inf")
             for _ in range(4):
                 t0 = time.perf_counter()
                 out, toks, ctr, kv = win(params, kv, toks, active, seeds,
-                                         ctr, temps, tks, tps, W, DEPTH)
+                                         ctr, temps, tks, tps, W, DEPTH,
+                                         delta)
                 device_sync(out)
                 best = min(best, time.perf_counter() - t0)
                 kv = kv.with_lengths(jnp.full((B,), FILL, jnp.int32))
@@ -96,8 +97,13 @@ def main():
     d = run("dense-bf16", False, False)
     p = run("kvq-postscale", True, False)
     i = run("kvq-int8dot", True, True)
+    dd = run("dense-DELTA", False, False, delta=True)
+    pd = run("kvq-DELTA", True, False, delta=True)
+    idd = run("kvq-i8dot-DELTA", True, True, delta=True)
     print(f"postscale vs dense: {100*(d/p-1):+.1f}% | "
           f"int8dot vs dense: {100*(d/i-1):+.1f}%")
+    print(f"DELTA: dense {100*(d/dd-1):+.1f}% | kvq {100*(d/pd-1):+.1f}% "
+          f"| kvq-i8dot {100*(d/idd-1):+.1f}% (all vs per-step dense)")
 
 
 if __name__ == "__main__":

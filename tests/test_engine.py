@@ -31,6 +31,36 @@ def test_engine_matches_single_sequence():
         assert got == expect, (prompt, got, expect)
 
 
+@pytest.mark.parametrize("kvq,paged", [(False, False), (True, False),
+                                       (False, True), (True, True)])
+def test_engine_window_delta_on_off_streams_equal(kvq, paged):
+    """The window-delta decode flow (config engine_window_delta, default
+    on: uniform-column delta writes + one wide absorb scatter per window,
+    score-level segment merge — ops.causal_attn_delta) must produce the
+    same token streams as the strict per-step formulation on every cache
+    flavor. Ulp-level logit differences are allowed by construction; on
+    these toy models the streams come out identical."""
+    from ggml_gfx906_tpu.utils import config
+
+    cfg, params = _tiny_model()
+    prompts = [[1, 2, 3], [9, 8], [5, 5, 5, 4]]
+    outs = []
+    for delta in (True, False):
+        config.set("engine_window_delta", delta)
+        config.set("kv_quant", kvq)
+        try:
+            eng = Engine(llama, cfg, params, max_batch=4, max_seq=64,
+                         paged_pages=8 if paged else None)
+            rids = [eng.submit(p, 6, seed=i) for i, p in
+                    enumerate(prompts)]
+            done = {r.rid: r for r in eng.run()}
+            outs.append([done[r].out for r in rids])
+        finally:
+            config.unset("engine_window_delta")
+            config.set("kv_quant", False)
+    assert outs[0] == outs[1], outs
+
+
 def test_engine_continuous_admission():
     """More requests than slots: finished slots are recycled and every
     request still matches its single-sequence reference."""
