@@ -129,13 +129,17 @@ def make_cache(cfg: MoEConfig, max_seq: int | None = None, dtype=None,
 
 def forward_batch(cfg: MoEConfig, params: dict, tokens: jax.Array,
                   kv, start: jax.Array, tp_axis: str | None = None,
-                  attn_window: int | None = None):
-    """Batched serving forward — same contract as llama.forward_batch."""
+                  attn_window: int | None = None, window_delta=None):
+    """Batched serving forward — same contract as llama.forward_batch,
+    including the window-delta decode mode (engine_window_delta)."""
     B, S = tokens.shape
     HD = cfg.head_dim
     dt = cfg.compute_dtype
     pos = start[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
     x = _llama._embed(params["wte"], tokens).astype(dt)
+    delta = step = len0 = None
+    if window_delta is not None:
+        delta, step, len0 = window_delta
 
     for li, blk in enumerate(params["blocks"]):
         H = blk["wq"].shape[0] // HD
@@ -146,11 +150,18 @@ def forward_batch(cfg: MoEConfig, params: dict, tokens: jax.Array,
         k = _llama._rope(cfg, qmatmul(h, blk["wk"]).reshape(B, S, KVH, HD),
                          pos)
         v = qmatmul(h, blk["wv"]).reshape(B, S, KVH, HD)
-        kv = kv.update_layer(li, k, v, start)
-        kc, vc, kd, vd = kv.layer_kv(li, attn_window)
-        att = ops.causal_flash_attn(
-            jnp.transpose(q, (0, 2, 1, 3)), kc, vc, start,
-            scale=1.0 / (HD ** 0.5), k_scale=kd, v_scale=vd)
+        if window_delta is not None:
+            delta = delta.write(li, k, v, step)
+            kc, vc, kd, vd = kv.layer_kv(li, attn_window)
+            att = ops.causal_attn_delta(
+                jnp.transpose(q, (0, 2, 1, 3)), kc, vc, kd, vd, len0,
+                delta.k[li], delta.v[li], step, scale=1.0 / (HD ** 0.5))
+        else:
+            kv = kv.update_layer(li, k, v, start)
+            kc, vc, kd, vd = kv.layer_kv(li, attn_window)
+            att = ops.causal_flash_attn(
+                jnp.transpose(q, (0, 2, 1, 3)), kc, vc, start,
+                scale=1.0 / (HD ** 0.5), k_scale=kd, v_scale=vd)
         att = jnp.transpose(att, (0, 2, 1, 3)).reshape(B, S, H * HD)
         x = x + qmatmul(att, blk["wo"])
         h2 = _llama._rms(x, blk["ffn_norm"], cfg.rms_eps)
@@ -159,7 +170,8 @@ def forward_batch(cfg: MoEConfig, params: dict, tokens: jax.Array,
 
     x = _llama._rms(x, params["out_norm"], cfg.rms_eps)
     head = params.get("lm_head", params["wte"])
-    return qmatmul(x, head).astype(jnp.float32), kv
+    logits = qmatmul(x, head).astype(jnp.float32)
+    return logits, (delta if window_delta is not None else kv)
 
 
 def generate(cfg: MoEConfig, params: dict, prompt_tokens, n_predict: int,
