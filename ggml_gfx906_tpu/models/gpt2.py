@@ -166,29 +166,41 @@ def make_cache(cfg: GPT2Config, max_seq: int | None = None, dtype=None,
 
 
 def forward_batch(cfg: GPT2Config, params: dict, tokens: jax.Array,
-                  kv, start: jax.Array, attn_window: int | None = None):
+                  kv, start: jax.Array, attn_window: int | None = None,
+                  window_delta=None):
     """Batched serving forward over a BatchedKVCache — the reference's
     gpt-2 seq_id batching (examples/gpt-2/main-batched.cpp): tokens (B, S)
     at per-slot positions start (B,) → (logits (B, S, V), kv).
-    attn_window: see models/llama.py::forward_batch."""
+    attn_window / window_delta: see models/llama.py::forward_batch."""
     B, S = tokens.shape
     H, HD = cfg.n_head, cfg.head_dim
     dt = cfg.compute_dtype
     pos = start[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
     x = (_embed(params["wte"], tokens)
          + _embed(params["wpe"], pos)).astype(dt)
+    delta = step = len0 = None
+    if window_delta is not None:
+        delta, step, len0 = window_delta
 
     for li, blk in enumerate(params["blocks"]):
         h = _ln(x, blk["ln1_g"], blk["ln1_b"], cfg.ln_eps)
         qkv = _linear(h, blk["qkv_w"], blk["qkv_b"])
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, S, H, HD)
-        kv = kv.update_layer(li, k.reshape(B, S, H, HD),
-                             v.reshape(B, S, H, HD), start)
-        kc, vc, kd, vd = kv.layer_kv(li, attn_window)
-        att = ops.causal_flash_attn(
-            jnp.transpose(q, (0, 2, 1, 3)), kc, vc, start,
-            scale=1.0 / (HD ** 0.5), k_scale=kd, v_scale=vd)
+        k = k.reshape(B, S, H, HD)
+        v = v.reshape(B, S, H, HD)
+        if window_delta is not None:
+            delta = delta.write(li, k, v, step)
+            kc, vc, kd, vd = kv.layer_kv(li, attn_window)
+            att = ops.causal_attn_delta(
+                jnp.transpose(q, (0, 2, 1, 3)), kc, vc, kd, vd, len0,
+                delta.k[li], delta.v[li], step, scale=1.0 / (HD ** 0.5))
+        else:
+            kv = kv.update_layer(li, k, v, start)
+            kc, vc, kd, vd = kv.layer_kv(li, attn_window)
+            att = ops.causal_flash_attn(
+                jnp.transpose(q, (0, 2, 1, 3)), kc, vc, start,
+                scale=1.0 / (HD ** 0.5), k_scale=kd, v_scale=vd)
         att = jnp.transpose(att, (0, 2, 1, 3)).reshape(B, S, cfg.n_embd)
         x = x + _linear(att, blk["proj_w"], blk["proj_b"])
         h2 = _ln(x, blk["ln2_g"], blk["ln2_b"], cfg.ln_eps)
@@ -198,7 +210,8 @@ def forward_batch(cfg: GPT2Config, params: dict, tokens: jax.Array,
 
     x = _ln(x, params["ln_f_g"], params["ln_f_b"], cfg.ln_eps)
     head = params.get("lm_head", params["wte"])
-    return qmatmul(x, head).astype(jnp.float32), kv
+    logits = qmatmul(x, head).astype(jnp.float32)
+    return logits, (delta if window_delta is not None else kv)
 
 
 def forward_train(cfg: GPT2Config, params: dict, tokens: jax.Array) -> jax.Array:

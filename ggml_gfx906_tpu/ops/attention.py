@@ -168,9 +168,11 @@ def causal_attn_delta(q, kc, vc, kd, vd, len0, dk, dv, step,
     KVH, W = kc.shape[1], kc.shape[2]
     DEPTH = dk.shape[2]
     rep = H // KVH
-    dot_t = jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
-    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT)
+    # bf16 only when the model computes in bf16; f32/f64 (grad checks)
+    # keep exact dots
+    dot_t = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
+    prec = (jax.lax.Precision.DEFAULT if q.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
     if scale is None:
         scale = 1.0 / (D ** 0.5)
     qg = q.reshape(B, KVH, rep, D)

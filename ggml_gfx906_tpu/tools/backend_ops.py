@@ -209,6 +209,27 @@ def _register_cases():
             return ops.causal_flash_attn(a, b, c, 40)
         return f, (q, k, v)
 
+    @case("causal_attn_delta", nmse_max=2e-6, grad=True)
+    def _():
+        # window-delta decode attention (engine window flow): big-cache
+        # segment [0, len0) merged with delta rows [0, step] at score
+        # level — must equal writing the rows into the cache and running
+        # causal_flash_attn (tests/test_engine.py asserts the engine-level
+        # stream parity; this pins the op itself against the CPU oracle)
+        r = _rng("cad")
+        B, KVH, H, W, DEPTH, D = 2, 2, 4, 48, 8, 32
+        q = _f32(r, B, H, 1, D)
+        kc = _f32(r, B, KVH, W, D)
+        vc = _f32(r, B, KVH, W, D)
+        dk = _f32(r, B, KVH, DEPTH, D)
+        dv = _f32(r, B, KVH, DEPTH, D)
+        len0 = np.array([17, 40], np.int32)
+
+        def f(a, b, c, dkk, dvv):
+            return ops.causal_attn_delta(a, b, c, None, None, len0,
+                                         dkk, dvv, 3)
+        return f, (q, kc, vc, dk, dv)
+
     @case("conv_1d", grad=True)
     def _():
         r = _rng("c1")
