@@ -35,7 +35,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    B, W, DEPTH, FILL, L = 16, 512, 8, 440, 2
+    B, W, DEPTH, FILL, L = 16, 512, 8, 440, int(__import__("os").environ.get("EXP_L", 2))
     cfg = llama.LlamaConfig(
         n_vocab=32000, n_ctx=2048, n_embd=4096, n_head=32, n_kv_head=32,
         n_layer=L, n_ff=11008, compute_dtype=jnp.bfloat16)
