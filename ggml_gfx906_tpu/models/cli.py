@@ -68,7 +68,9 @@ def serve_main(argv):
     ap.add_argument("--paged-pages", type=int, default=None,
                     help="use a paged KV pool of this many pages")
     ap.add_argument("--kv-quant", action="store_true",
-                    help="int8 KV cache (capacity feature)")
+                    help="int8 KV cache — half the KV HBM and the "
+                         "fastest measured serving config with the "
+                         "window-delta engine (docs/SERVING.md)")
     ap.add_argument("--weights-layout", default=None,
                     choices=["kernel", "int8", "auto"],
                     help="execution layout (default: config "
