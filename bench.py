@@ -406,6 +406,11 @@ def engine_sweep(llama, cfg, params, max_seq, note, extra,
     b32p256 = run_cfg("b32_paged256", 32, 256, n_new, paged_pages=128)
     b32p256d = run_cfg("b32_paged256_d16", 32, 256, n_new,
                        paged_pages=128, depth=16)
+    # depth 32: the 2/depth gather floor drops to ~6 % — the knob that
+    # takes the equal-config tax under 10 % (latency trade: one harvest
+    # per 32 steps)
+    b32p256d32 = run_cfg("b32_paged256_d32", 32, 256, n_new,
+                         paged_pages=128, depth=32)
     # r03 profiling (scripts/exp_engine_profile.py): the batched step costs
     # only ~8% over single-stream and in-program top-k sampling is free, so
     # aggregate throughput scales with slot count until the (MHA) KV read
@@ -446,13 +451,16 @@ def engine_sweep(llama, cfg, params, max_seq, note, extra,
         extra["paged_tax_equal_pct"] = round(100 * (1 - b32p256 / b32), 1)
         extra["paged_tax_equal_d16_pct"] = round(
             100 * (1 - b32p256d / b32), 1)
-        sd, sp256, sp256d = (extra.get(f"engine_steady_{x}", 0.0)
-                             for x in ("b32", "b32_paged256",
-                                       "b32_paged256_d16"))
+        sd, sp256, sp256d, sp256d32 = (
+            extra.get(f"engine_steady_{x}", 0.0)
+            for x in ("b32", "b32_paged256", "b32_paged256_d16",
+                      "b32_paged256_d32"))
         if sd > 0:
             extra["paged_tax_steady_pct"] = round(100 * (1 - sp256 / sd), 1)
             extra["paged_tax_steady_d16_pct"] = round(
                 100 * (1 - sp256d / sd), 1)
+            extra["paged_tax_steady_d32_pct"] = round(
+                100 * (1 - sp256d32 / sd), 1)
     if b16w > 0 and b16wq > 0:
         extra["kvq_w512_gain_pct"] = round(100 * (b16wq / b16w - 1), 1)
         sw = extra.get("engine_steady_b16_w512", 0.0)
