@@ -462,11 +462,14 @@ def engine_sweep(llama, cfg, params, max_seq, note, extra,
             extra["paged_tax_steady_d32_pct"] = round(
                 100 * (1 - sp256d32 / sd), 1)
     if b16w > 0 and b16wq > 0:
-        extra["kvq_w512_gain_pct"] = round(100 * (b16wq / b16w - 1), 1)
+        # aggregate folds in the (identical) 384-token prompt floods and
+        # their tunnel-stall noise — labeled as such; the criterion
+        # metric is the steady (decode-phase) gain below
+        extra["kvq_w512_aggregate_gain_pct"] = round(
+            100 * (b16wq / b16w - 1), 1)
         sw = extra.get("engine_steady_b16_w512", 0.0)
         swq = extra.get("engine_steady_b16_w512_kvq", 0.0)
         if sw > 0:
-            # the criterion metric: decode-phase rate at window 512
             extra["kvq_w512_steady_gain_pct"] = round(
                 100 * (swq / sw - 1), 1)
     s32 = extra.get("engine_steady_b32", 0.0)
