@@ -188,8 +188,14 @@ def _load_int8_wire(r: GGUFReader, work) -> dict:
         groups[-1].append(item)
         cur += nb
     out = {}
-    buf = np.empty(chunk_sz, np.uint8)   # reused; every upload same shape
     for group in groups:
+        # fresh staging buffer per group (same shape, so any shape-keyed
+        # upload fast path still hits): jnp.asarray's host→device copy
+        # may be asynchronous or zero-copy-aliased, so refilling ONE
+        # reused buffer while the previous group's transfer is in flight
+        # would silently corrupt the loaded weights — jax holds a
+        # reference to this buffer for as long as it needs it
+        buf = np.empty(chunk_sz, np.uint8)
         off = 0
         metas = []
         for nm, qtype, n, k, raw in group:
@@ -199,7 +205,7 @@ def _load_int8_wire(r: GGUFReader, work) -> dict:
         dev = jnp.asarray(buf)           # ONE flat transfer per chunk
         for nm, qtype, n, k, o in metas:
             out[nm] = wire_bytes_to_int8(qtype, dev, o, n, k)
-        del dev   # conversions hold their outputs; the chunk can free
+        del dev, buf   # conversions hold their outputs; the chunk can free
     return out
 
 

@@ -120,6 +120,10 @@ def spec_generate(cfg, params, prompt_tokens, n_predict: int, k: int = 8,
     k: drafted tokens per verify step (static — one compiled program).
     window: spec steps dispatched per harvest fetch (device-chained)."""
     prompt = list(map(int, prompt_tokens))
+    if n_predict < 1:
+        return (list(prompt), {"spec_steps": 0, "accepted_per_step": [],
+                               "accept_rate": 0.0, "tokens_per_step": 0}
+                ) if return_stats else list(prompt)
     P = len(prompt)
     cap = max_seq or cfg.n_ctx
     if P + n_predict + k + 1 > cap:

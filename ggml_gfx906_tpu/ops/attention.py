@@ -80,6 +80,21 @@ def _causal_ref(q, k, v, pos, scale, logit_softcap, k_scale=None,
     return attention_ref(q, k, v, mask, scale, 0.0, logit_softcap, None)
 
 
+def _int8_score_dot(qg, k8, kd, scale):
+    """Scores against an int8 K segment with the q rows activation-
+    quantized per (b, h, n) — ggml's Q8_1 analogue (ref vecdotq.cuh):
+    the dot runs int8×int8→int32 on the MXU with no int8→bf16 convert in
+    the K stream. Shared by the postscale and window-delta paths, which
+    must stay numerically identical. Returns (B, KVH, n, M) f32."""
+    qa = jnp.max(jnp.abs(qg.astype(jnp.float32)), axis=-1, keepdims=True)
+    qd = qa / 127.0
+    q8 = jnp.round(qg.astype(jnp.float32)
+                   / jnp.maximum(qd, 1e-30)).astype(jnp.int8)
+    s = jnp.einsum("bhnd,bhmd->bhnm", q8, k8,
+                   preferred_element_type=jnp.int32).astype(jnp.float32)
+    return s * (qd * kd[:, :, None, :] * jnp.float32(scale))
+
+
 def _causal_postscale(q, k8, v8, kd, vd, pos, scale, softcap):
     """Quantized-KV causal attention WITHOUT materializing the dequantized
     cache: the int8 K/V stream straight into the attention dots (XLA fuses
@@ -110,24 +125,14 @@ def _causal_postscale(q, k8, v8, kd, vd, pos, scale, softcap):
 
     if (N == 1 and q.dtype != jnp.float32
             and bool(config.get("kv_attn_int8_dot"))):
-        # ggml's Q8_1-activation-quant analogue (ref vecdotq.cuh): q rows
-        # quantize to int8 per (b, h, n) and the score dot runs
-        # int8×int8→int32 on the MXU — no int8→bf16 convert in the K
-        # stream. Measured (scripts/exp_kv_long.py, B=32 H=32 D=128
-        # M=1024): 0.252 ms/step vs postscale 0.361 vs dense bf16 0.607.
-        # DECODE ONLY (N == 1): the chunked-prefill shape measured a
-        # regression with quantized q rows (scripts/exp_engine_w512.py),
+        # _int8_score_dot: measured (scripts/exp_kv_long.py, B=32 H=32
+        # D=128 M=1024) 0.252 ms/step vs postscale 0.361 vs dense bf16
+        # 0.607. DECODE ONLY (N == 1): the chunked-prefill shape measured
+        # a regression with quantized q rows (scripts/exp_engine_w512.py),
         # and prefill is MXU-bound, not KV-read-bound. Adds a bounded
         # |q|/127-per-row rounding to the scores; f32 compute paths keep
         # the exact dots.
-        qa = jnp.max(jnp.abs(qg.astype(jnp.float32)), axis=-1,
-                     keepdims=True)
-        qd = qa / 127.0
-        q8 = jnp.round(qg.astype(jnp.float32)
-                       / jnp.maximum(qd, 1e-30)).astype(jnp.int8)
-        s = jnp.einsum("bhnd,bhmd->bhnm", q8, k8,
-                       preferred_element_type=jnp.int32).astype(jnp.float32)
-        s = s * (qd * kd[:, :, None, :] * jnp.float32(scale))
+        s = _int8_score_dot(qg, k8, kd, scale)
     else:
         s = jnp.einsum("bhnd,bhmd->bhnm", qg.astype(dot_t),
                        k8.astype(dot_t),
@@ -179,17 +184,9 @@ def causal_attn_delta(q, kc, vc, kd, vd, len0, dk, dv, step,
     from ..utils import config
 
     quant = kd is not None
-    if (quant and N == 1 and q.dtype != jnp.float32
+    if (quant and N == 1 and q.dtype == jnp.bfloat16
             and bool(config.get("kv_attn_int8_dot"))):
-        qa = jnp.max(jnp.abs(qg.astype(jnp.float32)), axis=-1,
-                     keepdims=True)
-        qd = qa / 127.0
-        q8 = jnp.round(qg.astype(jnp.float32)
-                       / jnp.maximum(qd, 1e-30)).astype(jnp.int8)
-        s_big = jnp.einsum("bhnd,bhmd->bhnm", q8, kc,
-                           preferred_element_type=jnp.int32
-                           ).astype(jnp.float32)
-        s_big = s_big * (qd * kd[:, :, None, :] * jnp.float32(scale))
+        s_big = _int8_score_dot(qg, kc, kd, scale)
     elif quant:
         s_big = jnp.einsum("bhnd,bhmd->bhnm", qg.astype(dot_t),
                            kc.astype(dot_t),

@@ -228,7 +228,16 @@ def ring_self_attention(mesh: Mesh, q, k, v, scale: float | None = None,
         raise ValueError(f"unknown ring schedule {schedule!r}")
     S = q.shape[2]
     if S % (2 * sp):
-        raise ValueError(f"zigzag needs S % (2*sp) == 0, got {S} % {2*sp}")
+        # zigzag needs S % (2*sp) == 0 (two half-chunks per device);
+        # shapes valid for the ring but not for zigzag keep the old
+        # contract instead of failing — correctness first, balance when
+        # the shape allows it
+        if return_work_counts:
+            raise ValueError(
+                f"work counts need the zigzag schedule: S % (2*sp) == 0, "
+                f"got {S} % {2 * sp}")
+        return ring_self_attention(mesh, q, k, v, scale, logit_softcap,
+                                   axis, batch_axis, "contiguous")
     perm, inv = zigzag_perm(S, sp)
     qz, kz, vz = (x.take(perm, axis=2) for x in (q, k, v))
     body = functools.partial(_zigzag_body, axis=axis, sp=sp,

@@ -197,8 +197,13 @@ _MODEL_PROGRAMS: dict = {}
 def _model_programs(mm, c, mesh):
     """(decode_step, decode_window|None, prefill_chunk) for a (model
     module, cfg, mesh) key — built once per process and shared by every
-    Engine with that key."""
-    key = (mm, c, mesh)
+    Engine with that key. Trace-time config flags join the key: they are
+    read when the program is traced, so a later toggle must map to a
+    DIFFERENT cached program, not silently reuse the stale trace
+    (kv_quant needs no key — it changes the cache pytree structure and
+    jit retraces on its own; engine_window_delta is a static arg)."""
+    key = (mm, c, mesh, str(config.get("attn_impl")),
+           bool(config.get("kv_attn_int8_dot")))
     if key in _MODEL_PROGRAMS:
         return _MODEL_PROGRAMS[key]
 

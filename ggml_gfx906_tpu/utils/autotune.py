@@ -74,7 +74,6 @@ def choose(n: int = 2048, k: int = 2048, verbose: bool = True) -> str:
     return layout
 
 
-@functools.cache
 def probe_int4_dot(verbose: bool = True) -> tuple[bool, str]:
     """Standing re-test of the runtime blocker that caps the wire-density
     decode path (VERDICT r04 missing #5; docs/PERFORMANCE.md): `jnp.int4`
@@ -87,6 +86,18 @@ def probe_int4_dot(verbose: bool = True) -> tuple[bool, str]:
     `ops/quantized.to_int8_layout` — halving the decode weight stream —
     and `choose()` must stop short-circuiting to int8 and re-measure.
     Returns (supported, detail)."""
+    ok, msg = _probe_int4_dot_cached()
+    if verbose:
+        print(f"autotune: {msg} → 4-bit execution layout "
+              f"{'CANDIDATE' if ok else 'blocked, int8 path stands'}",
+              file=sys.stderr)
+    return ok, msg
+
+
+@functools.cache
+def _probe_int4_dot_cached() -> tuple[bool, str]:
+    # the compile attempt truly runs once per process — caching on the
+    # verbose flag would probe (and log) twice
     import jax
     import jax.numpy as jnp
 
@@ -109,10 +120,6 @@ def probe_int4_dot(verbose: bool = True) -> tuple[bool, str]:
         ok = False
         msg = (f"int4 dot_general unavailable "
                f"({type(e).__name__}: {str(e)[:90]})")
-    if verbose:
-        print(f"autotune: {msg} → 4-bit execution layout "
-              f"{'CANDIDATE' if ok else 'blocked, int8 path stands'}",
-              file=sys.stderr)
     return ok, msg
 
 

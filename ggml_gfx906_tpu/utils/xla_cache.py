@@ -29,9 +29,15 @@ def ensure() -> None:
         return
     path = os.path.expanduser(path)
     try:
-        os.makedirs(path, exist_ok=True)
         import jax
 
+        # never clobber a cache the host application configured itself
+        # (jax.config or JAX_COMPILATION_CACHE_DIR) — importing this
+        # package must not silently redirect someone else's cache
+        if (jax.config.jax_compilation_cache_dir
+                or os.environ.get("JAX_COMPILATION_CACHE_DIR")):
+            return
+        os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception as e:  # noqa: BLE001 — cache is an optimization only
